@@ -1,0 +1,56 @@
+"""Test configuration.
+
+By default tests run on CPU with 8 virtual devices so the shard_map /
+multi-chip paths are exercised without TPU hardware (the strategy from
+SURVEY.md §4). Set RAYTPU_TEST_TPU=1 to run against the real backend instead.
+
+Note the ordering dance: the environment's axon PJRT sitecustomize hook runs
+at interpreter start (before conftest), so overriding JAX_PLATFORMS=cpu here
+would deadlock its client. Instead we leave the plugin alone, force the CPU
+host-platform device count via XLA_FLAGS (must land before first backend
+init), and select CPU as the default platform through jax.config — which
+coexists with the registered plugin.
+"""
+import os
+
+if not os.environ.get("RAYTPU_TEST_TPU"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+if not os.environ.get("RAYTPU_TEST_TPU"):
+    jax.config.update("jax_platform_name", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cornell():
+    from uob_raytracer_tpu import cornell_box
+    return cornell_box()
+
+
+def assert_images_match(img, ref, *, outlier_frac=0.005, outlier_bound=0.35,
+                        tight=3e-4, what=""):
+    """Boundary-aware image parity.
+
+    XLA contracts mul-add chains into FMAs (CPU and TPU); NumPy does not.
+    The extra precision can flip marginal visibility comparisons (nearest-hit
+    and shadow tests) on a handful of edge pixels, each off by at most a
+    single shadow sample or hit reassignment. So: almost every pixel must
+    match tightly, and the rare boundary pixels must stay bounded.
+    """
+    img = np.asarray(img)
+    ref = np.asarray(ref)
+    diff = np.abs(img - ref).max(axis=-1)
+    frac = (diff > tight).mean()
+    assert frac <= outlier_frac, (
+        f"{what}: {frac:.2%} pixels differ by more than {tight} "
+        f"(max {diff.max():.4f})")
+    assert diff.max() <= outlier_bound, (
+        f"{what}: worst-pixel difference {diff.max():.4f} exceeds "
+        f"{outlier_bound} — not a boundary flip")

@@ -1,0 +1,93 @@
+"""Scene construction tests: the golden Cornell Box geometry, normals,
+spheres, OBJ loading — validated against hand-derived values from
+``/root/reference/Source/TestModelH.h``."""
+import numpy as np
+import pytest
+
+from uob_raytracer_tpu import cornell_box, load_obj, add_triangles
+from uob_raytracer_tpu.config import ShadingModel
+from uob_raytracer_tpu.scene import compute_normals, animate_light
+
+
+def test_triangle_count(cornell):
+    # 10 room triangles + 8 short block + 8 tall block (TestModelH.h:87-189;
+    # front wall and block backs are commented out in the reference).
+    assert cornell.num_triangles == 26
+    assert cornell.num_spheres == 2
+
+
+def test_bounds(cornell):
+    for v in (cornell.tri_v0, cornell.tri_v1, cornell.tri_v2):
+        v = np.asarray(v)
+        assert v.min() >= -1.0 - 1e-6 and v.max() <= 1.0 + 1e-6
+
+
+def test_floor_triangle_exact(cornell):
+    # First triangle is (C, B, A) of the room floor with C=(555,0,555),
+    # B=(0,0,0), A=(555,0,0), scaled by 2/555, -1, then x,y mirrored:
+    # C -> (-1, -1, 1), B -> (1, 1, -1), A -> (-1, -1, -1)... y: 0*2/555-1
+    # = -1 then mirrored -> +1. Compute independently:
+    def xform(p):
+        q = np.array(p, np.float32) * np.float32(2.0 / 555.0) - 1.0
+        return q * np.array([-1.0, -1.0, 1.0], np.float32)
+    np.testing.assert_allclose(np.asarray(cornell.tri_v0)[0], xform((555, 0, 555)))
+    np.testing.assert_allclose(np.asarray(cornell.tri_v1)[0], xform((0, 0, 0)))
+    np.testing.assert_allclose(np.asarray(cornell.tri_v2)[0], xform((555, 0, 0)))
+
+
+def test_materials(cornell):
+    mat = np.asarray(cornell.tri_mat)
+    assert np.all(mat == 1.0)  # all Cornell triangles diffuse
+    smat = np.asarray(cornell.sph_mat)
+    assert smat[0] == -1.0 and smat[1] == 0.0  # glass then mirror
+
+
+def test_sphere_constants(cornell):
+    np.testing.assert_allclose(np.asarray(cornell.sph_center),
+                               [[0.3, 0.1, -0.5], [-0.4, 0.8, -0.5]])
+    np.testing.assert_allclose(np.asarray(cornell.sph_r2), [0.075, 0.05])
+
+
+def test_normals_unit_and_orientation(cornell):
+    n = np.asarray(compute_normals(cornell.tri_v0, cornell.tri_v1,
+                                   cornell.tri_v2, xp=np))
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, rtol=1e-6)
+    # Floor normal: cross(e2, e1) convention for (C,B,A) above points +y
+    # after the mirroring (the reference renders with it lit from above).
+    assert abs(abs(n[0, 1]) - 1.0) < 1e-6
+
+
+def test_shading_model_constants():
+    dev = cornell_box(shading=ShadingModel.DEVICE)
+    host = cornell_box(shading=ShadingModel.HOST)
+    np.testing.assert_allclose(np.asarray(dev.light_color), [16, 16, 16])
+    np.testing.assert_allclose(np.asarray(dev.indirect_light), [0.5] * 3)
+    np.testing.assert_allclose(np.asarray(host.light_color), [14, 14, 14])
+    np.testing.assert_allclose(np.asarray(host.indirect_light), [0.25] * 3)
+
+
+def test_load_obj(tmp_path):
+    p = tmp_path / "tri.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    verts, rgb, mat = load_obj(str(p))
+    assert verts.shape == (1, 3, 3)
+    # v0 = -1.5*(0,0,0) + (-0.4,1.15,-0.7) (Loader.cpp:42-52)
+    np.testing.assert_allclose(verts[0, 0], [-0.4, 1.15, -0.7], atol=1e-6)
+    np.testing.assert_allclose(verts[0, 1], [-1.9, 1.15, -0.7], atol=1e-6)
+    scene = add_triangles(cornell_box(), verts, rgb, mat)
+    assert scene.num_triangles == 27
+
+
+def test_animate_light_oscillates():
+    x, lor = 0.0, True
+    xs = []
+    for _ in range(400):
+        x, lor = animate_light(x, lor)
+        xs.append(x)
+    assert min(xs) < -0.45 and max(xs) > 0.45  # sweeps both extremes
+
+
+def test_scene_is_pytree(cornell):
+    import jax
+    leaves = jax.tree_util.tree_leaves(cornell)
+    assert len(leaves) == 15

@@ -1,0 +1,93 @@
+"""Top-level render API: one jitted call per frame.
+
+Replaces the reference's per-frame host choreography — rotation-matrix upload,
+kernel-arg writes, NDRange enqueue, blocking readback
+(``Source/skeleton.cpp:146-182``) — with a single traced function:
+ray generation, primary intersection, shading and the wavefront bounce loop
+all fuse under ``jax.jit``. The float image stays on device and is
+differentiable w.r.t. every Scene leaf; the packed ARGB image reproduces the
+reference's screen buffer.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import RenderConfig
+from .ops.camera import gen_primary_rays
+from .ops.image import pack_argb
+from .ops.intersect import prepare_scene
+from .ops.shading import shade, shade_cpu_ref
+from .scene import Scene
+
+
+class RenderResult(NamedTuple):
+    image: jax.Array   # float32 [H, W, 3]
+    packed: jax.Array  # uint32 [H, W] ARGB8888
+
+
+def _pick_chunk_rows(cfg: RenderConfig, target_rays: int = 1 << 18) -> int:
+    """Largest divisor of H keeping rows*W*A near the target ray count per
+    chunk (bounds peak memory of the [rays, triangles] broadcast)."""
+    per_row = cfg.width * cfg.aa_rays
+    want = max(1, target_rays // per_row)
+    divs = [d for d in range(1, cfg.height + 1) if cfg.height % d == 0]
+    return max(d for d in divs if d <= want) if any(d <= want for d in divs) else 1
+
+
+def render_flat(scene: Scene, cfg: RenderConfig, chunk_rows: int | None = None):
+    """Float radiance per AA ray, shaped [H, W, A, 3]. Traceable/differentiable."""
+    ds = prepare_scene(scene)
+    dirs, gid = gen_primary_rays(cfg, scene.yaw, scene.pitch)
+    H, W = cfg.height, cfg.width
+    A = dirs.shape[2]
+    if chunk_rows is None:
+        chunk_rows = _pick_chunk_rows(cfg)
+    if H % chunk_rows:
+        raise ValueError(
+            f"chunk_rows={chunk_rows} must divide the image height {H}")
+    n_chunks = H // chunk_rows
+    rays_per_chunk = chunk_rows * W * A
+
+    d_flat = dirs.reshape(n_chunks, rays_per_chunk, 3)
+    gid_flat = jnp.repeat(gid.reshape(-1), A).reshape(n_chunks, rays_per_chunk)
+    start = jnp.broadcast_to(ds.camera_pos, (rays_per_chunk, 3))
+
+    def per_chunk(args):
+        d_c, gid_c = args
+        if cfg.cpu_ref:
+            return shade_cpu_ref(ds, cfg, start, d_c)
+        return shade(ds, cfg, start, d_c, gid_c)
+
+    if n_chunks == 1:
+        colors = per_chunk((d_flat[0], gid_flat[0]))[None]
+    else:
+        colors = jax.lax.map(per_chunk, (d_flat, gid_flat))
+    return colors.reshape(H, W, A, 3)
+
+
+def render_image(scene: Scene, cfg: RenderConfig,
+                 chunk_rows: int | None = None) -> jax.Array:
+    """Float image [H, W, 3]: AA rays averaged (``kernels.cl:427``)."""
+    colors = render_flat(scene, cfg, chunk_rows)
+    return colors.sum(axis=2) / jnp.float32(colors.shape[2])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk_rows"))
+def _render_jit(scene: Scene, cfg: RenderConfig, chunk_rows):
+    img = render_image(scene, cfg, chunk_rows)
+    return RenderResult(image=img, packed=pack_argb(img))
+
+
+def render(scene: Scene, cfg: RenderConfig,
+           chunk_rows: int | None = None) -> RenderResult:
+    """Render a frame (jitted). Returns the float image and the packed
+    ARGB8888 screen buffer."""
+    return _render_jit(scene, cfg, chunk_rows)
+
+
+def render_packed(scene: Scene, cfg: RenderConfig) -> jax.Array:
+    return render(scene, cfg).packed
