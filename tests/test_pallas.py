@@ -1,0 +1,91 @@
+"""Pallas fused-kernel tests: interpreter-mode equivalence against the jnp
+pipeline (the kernel's semantic twin), pad/crop behavior, feature flags.
+Compiled-mode parity against the oracle runs on real hardware
+(RAYTPU_TEST_TPU=1)."""
+import os
+
+import numpy as np
+import pytest
+
+from uob_raytracer_tpu import RenderConfig, cornell_box
+from uob_raytracer_tpu.kernels import render_fused_raw
+from uob_raytracer_tpu.render import _render_image_jnp
+from uob_raytracer_tpu.ops.image import pack_argb
+
+ON_TPU = bool(os.environ.get("RAYTPU_TEST_TPU"))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_box()
+
+
+def _compare(scene, cfg, tol=2e-5, frac=0.002):
+    img, packed = render_fused_raw(scene, cfg, interpret=not ON_TPU)
+    ref = _render_image_jnp(scene, cfg, chunk_rows=cfg.height)
+    d = np.abs(np.asarray(img) - np.asarray(ref)).max(-1)
+    assert (d > tol).mean() <= frac, (
+        f"{(d > tol).mean():.4%} pixels differ (max {d.max():.5f})")
+    # packed output consistent with the float image
+    repacked = np.asarray(pack_argb(img))
+    mism = (np.asarray(packed) != repacked).mean()
+    assert mism <= frac
+    return np.asarray(img)
+
+
+def test_full_pipeline_small(scene):
+    img = _compare(scene, RenderConfig(width=128, height=16))
+    assert img.shape == (16, 128, 3)
+    assert img.max() > 0.3
+
+
+def test_pad_and_crop(scene):
+    # 96 wide: the kernel pads to 128 lanes and crops; RNG pixel ids use the
+    # logical width so the shadow noise matches the jnp path exactly.
+    img = _compare(scene, RenderConfig(width=96, height=20,
+                                       shadow_samples=6, bounces=3))
+    assert img.shape == (20, 96, 3)
+
+
+def test_no_bounces(scene):
+    _compare(scene, RenderConfig(width=128, height=16, bounces=0))
+
+
+def test_quirk_tir(scene):
+    _compare(scene, RenderConfig(width=128, height=16, quirk_nan_tir=True))
+
+
+def test_fresnel(scene):
+    # Glass-path pixels accumulate sub-1e-4 rounding differences through the
+    # refraction chain (compilation-order effects), so the tight threshold
+    # flags a few extra pixels; bound them by magnitude instead.
+    img, _ = render_fused_raw(scene,
+                              RenderConfig(width=128, height=16,
+                                           fresnel=True, bounces=4),
+                              interpret=not ON_TPU)
+    ref = _render_image_jnp(scene,
+                            RenderConfig(width=128, height=16, fresnel=True,
+                                         bounces=4), chunk_rows=16)
+    d = np.abs(np.asarray(img) - np.asarray(ref)).max(-1)
+    assert (d > 5e-4).mean() <= 0.002, f"max {d.max():.5f}"
+
+
+def test_no_spheres():
+    from uob_raytracer_tpu.config import ShadingModel
+    sc = cornell_box(spheres=False)
+    _compare(sc, RenderConfig(width=128, height=16, bounces=0))
+
+
+def test_cpu_ref_rejected(scene):
+    with pytest.raises(ValueError):
+        render_fused_raw(scene, RenderConfig(width=128, height=16,
+                                             cpu_ref=True))
+
+
+def test_backend_dispatch(scene):
+    # On the CPU test backend, auto resolves to jnp; explicit pallas with
+    # interpret is exercised above. Just check the public API runs.
+    from uob_raytracer_tpu.render import render
+    out = render(scene, RenderConfig(width=128, height=16, bounces=1,
+                                     shadow_samples=2))
+    assert np.asarray(out.image).shape == (16, 128, 3)

@@ -116,7 +116,7 @@ def _tir_scene():
 def test_quirk_nan_tir_fires_on_tir_scene():
     import jax.numpy as jnp
     from uob_raytracer_tpu.ops.intersect import prepare_scene, intersect
-    from uob_raytracer_tpu.ops.shading import secondary_light
+    from uob_raytracer_tpu.ops.shading import shade
     scene = _tir_scene()
     ds = prepare_scene(scene)
     d = jnp.array([[0.0, 0.0, 1.0]])
@@ -124,11 +124,11 @@ def test_quirk_nan_tir_fires_on_tir_scene():
     gid = jnp.array([0], jnp.uint32)
     primary = intersect(ds, start, d)
     assert float(primary.mat[0]) == -1.0  # hit glass plane 1
-    fixed = np.asarray(secondary_light(
-        ds, RenderConfig(width=8, height=8), primary, d, gid))[0]
-    quirk = np.asarray(secondary_light(
+    fixed = np.asarray(shade(
+        ds, RenderConfig(width=8, height=8), start, d, gid))[0]
+    quirk = np.asarray(shade(
         ds, RenderConfig(width=8, height=8, quirk_nan_tir=True),
-        primary, d, gid))[0]
+        start, d, gid))[0]
     assert np.all(quirk == 0.0)          # reference NaN-TIR: black
     assert fixed.max() > 0.05            # fixed TIR: reflected to the wall
     # Oracle agrees in both modes.

@@ -1,0 +1,157 @@
+"""Command-line driver — the application layer replacing the reference's
+SDL event loop (``Source/skeleton.cpp:93-144``). No window: frames go to
+BMP/PPM files; the light animation reproduces the reference's oscillation
+(``skeleton.cpp:290-298``) and camera parameters are flags instead of
+mouse/keyboard events.
+
+Usage:
+    python -m uob_raytracer_tpu.cli render   [--config full_1024] [-o out.bmp]
+    python -m uob_raytracer_tpu.cli animate  [--frames 60] [-o frames/]
+    python -m uob_raytracer_tpu.cli fit      [--steps 50]
+    python -m uob_raytracer_tpu.cli configs
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build(args):
+    import jax.numpy as jnp
+    from . import RenderConfig, ShadingModel, baseline_configs, cornell_box
+
+    configs = baseline_configs()
+    if args.config in configs:
+        cfg = configs[args.config]
+    else:
+        cfg = RenderConfig()
+    if args.width:
+        cfg = dataclasses.replace(cfg, width=args.width,
+                                  height=args.height or args.width)
+    scene = cornell_box(
+        spheres=not cfg.cpu_ref,
+        shading=cfg.shading if cfg.cpu_ref else ShadingModel.DEVICE)
+    if args.obj:
+        from . import add_triangles, load_obj
+        scene = add_triangles(scene, *load_obj(args.obj))
+    if args.yaw or args.pitch:
+        scene = dataclasses.replace(scene, yaw=jnp.float32(args.yaw),
+                                    pitch=jnp.float32(args.pitch))
+    return scene, cfg
+
+
+def cmd_render(args):
+    from .ops.image import save_bmp, save_ppm
+    from .render import render
+
+    scene, cfg = _build(args)
+    t0 = time.time()
+    out = render(scene, cfg, backend=args.backend)
+    out.image.block_until_ready()
+    dt = time.time() - t0
+    # reference prints per-frame time + FPS (skeleton.cpp:131-132)
+    print(f"Rendertime: {dt*1e6:.0f} microseconds (includes compile)")
+    t0 = time.time()
+    out = render(scene, cfg, backend=args.backend)
+    out.image.block_until_ready()
+    dt = time.time() - t0
+    print(f"Rendertime: {dt*1e6:.0f} microseconds")
+    print(f"Frame Rate: {1.0/dt:.1f} FPS")
+    path = args.out or "screenshot.bmp"
+    if path.endswith(".ppm"):
+        save_ppm(path, np.asarray(out.image))
+    else:
+        save_bmp(path, np.asarray(out.packed))
+    print(f"saved {path}")
+
+
+def cmd_animate(args):
+    import jax.numpy as jnp
+    from .ops.image import save_bmp
+    from .render import render
+    from .scene import animate_light
+
+    scene, cfg = _build(args)
+    outdir = args.out or "frames"
+    os.makedirs(outdir, exist_ok=True)
+    light_x, lor = float(np.asarray(scene.light_pos)[0]), True
+    t_total = 0.0
+    for f in range(args.frames):
+        light_x, lor = animate_light(light_x, lor)
+        s = dataclasses.replace(
+            scene, light_pos=scene.light_pos.at[0].set(light_x))
+        t0 = time.time()
+        out = render(s, cfg, backend=args.backend)
+        out.packed.block_until_ready()
+        if f > 0:
+            t_total += time.time() - t0
+        save_bmp(os.path.join(outdir, f"frame_{f:04d}.bmp"),
+                 np.asarray(out.packed))
+    if args.frames > 1:
+        dt = t_total / (args.frames - 1)
+        print(f"{args.frames} frames; steady-state {dt*1e3:.2f} ms/frame "
+              f"= {1.0/dt:.1f} FPS")
+
+
+def cmd_fit(args):
+    """Differentiable-rendering demo: recover the light position from a
+    target image by gradient descent (the capability the reference never
+    had)."""
+    import jax
+    import jax.numpy as jnp
+    from .parallel import make_mesh, render_image_sharded, train_step
+
+    scene, cfg = _build(args)
+    cfg = dataclasses.replace(cfg, width=min(cfg.width, 256),
+                              height=min(cfg.height, 256))
+    mesh = make_mesh(tp=1)
+    target_scene = dataclasses.replace(
+        scene, light_pos=jnp.array([0.35, -0.5, -0.7]))
+    target = render_image_sharded(target_scene, cfg, mesh)
+    s = scene
+    for i in range(args.steps):
+        s, loss = train_step(s, target, cfg, mesh, lr=args.lr,
+                             trainable=("light_pos",))
+        if i % 5 == 0 or i == args.steps - 1:
+            print(f"step {i:3d}  loss {float(loss):.6f}  "
+                  f"light {np.asarray(s.light_pos).round(4)}")
+    print(f"target light was {np.asarray(target_scene.light_pos).round(4)}")
+
+
+def cmd_configs(_args):
+    from . import baseline_configs
+    for name, cfg in baseline_configs().items():
+        print(f"{name}: {cfg}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="uob_raytracer_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("render", cmd_render), ("animate", cmd_animate),
+                     ("fit", cmd_fit), ("configs", cmd_configs)]:
+        sp = sub.add_parser(name)
+        sp.set_defaults(fn=fn)
+        sp.add_argument("--config", default="full_1024")
+        sp.add_argument("--width", type=int, default=0)
+        sp.add_argument("--height", type=int, default=0)
+        sp.add_argument("--backend", default="auto")
+        sp.add_argument("--obj", default=None)
+        sp.add_argument("--yaw", type=float, default=0.0)
+        sp.add_argument("--pitch", type=float, default=0.0)
+        sp.add_argument("-o", "--out", default=None)
+        if name == "animate":
+            sp.add_argument("--frames", type=int, default=60)
+        if name == "fit":
+            sp.add_argument("--steps", type=int, default=30)
+            sp.add_argument("--lr", type=float, default=0.5)
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

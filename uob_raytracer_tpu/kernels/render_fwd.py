@@ -1,0 +1,599 @@
+"""Fused Pallas TPU forward kernel: the whole per-pixel pipeline in one
+kernel launch.
+
+This is the TPU analogue of the reference's single ``draw`` kernel
+(``Source/kernels.cl:368-428``): one grid program per pixel tile computes
+AA ray generation, brute-force nearest-hit over the whole scene, the
+specular bounce loop, one soft-shadow pass at the unified shading point,
+the AA average, and the ARGB pack — with every intermediate resident in
+VMEM/registers. The scene lives in SMEM and is broadcast scalar-by-scalar
+into vector ops, mirroring the reference's local-memory staging
+(``kernels.cl:374-376``) at the register level.
+
+Layout: a tile is (AA, TILE_H, TILE_W) float32 per vector quantity —
+(8, 128) is the native f32 tile; the AA axis rides along as a leading dim so
+all four anti-aliasing rays of a pixel vectorize together. The bounce loop
+is a ``lax.while_loop`` with a tile-level early exit: tiles whose rays hold
+no specular surface leave after one ``any()`` check, which is how the
+wavefront formulation recovers the reference's per-ray loop exit
+(``kernels.cl:348``) without divergence.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..scene import Scene
+
+TILE_H = 8
+TILE_W = 128
+
+# np scalars (not jnp): jnp scalars materialize as device arrays at import
+# time and would be flagged as captured constants by pallas_call.
+_F = np.float32
+_PI4 = np.float32(4.0 * np.pi)
+_BIG = np.float32(3.0e38)
+_UINT_MAX_F = np.float32(4294967295.0)  # == 2^32 in f32, as in the OpenCL
+
+
+# --------------------------------------------------------------------------
+# Scene packing: SoA pytree -> flat SMEM tables (traced, differentiable)
+# --------------------------------------------------------------------------
+
+def pack_scene(scene: Scene):
+    """Flatten the scene into (tri [T,16], sph [S',12], cam [24]) float32
+    tables for SMEM. tri row: v0, e1, e2, n(unit), rgb, mat.
+    sph row: c, r2, rgb, mat, pad. cam: rot rows r0 r1 r2, camera, light,
+    light_color, indirect. Built inside the traced graph so gradients flow
+    back to every Scene leaf."""
+    v0 = scene.tri_v0
+    e1 = scene.tri_v1 - v0
+    e2 = scene.tri_v2 - v0
+    n = jnp.cross(e2, e1)
+    nn = jnp.sum(n * n, axis=-1, keepdims=True)
+    n = n / jnp.sqrt(jnp.where(nn == 0, 1.0, nn))
+    tri = jnp.concatenate(
+        [v0, e1, e2, n, scene.tri_rgb, scene.tri_mat[:, None]], axis=1)
+
+    if scene.sph_center.shape[0]:
+        sph = jnp.concatenate([
+            scene.sph_center, scene.sph_r2[:, None], scene.sph_rgb,
+            scene.sph_mat[:, None],
+            jnp.zeros((scene.sph_center.shape[0], 4), _F)], axis=1)
+    else:
+        sph = jnp.zeros((1, 12), _F)
+
+    cy, sy = jnp.cos(scene.yaw), jnp.sin(scene.yaw)
+    cp, sp = jnp.cos(scene.pitch), jnp.sin(scene.pitch)
+    cam = jnp.concatenate([
+        jnp.stack([cy, sp * sy, sy * cp, _F(0.0), cp, -sp,
+                   -sy, cy * sp, cp * cy]),
+        scene.camera_pos, scene.light_pos, scene.light_color,
+        scene.indirect_light,
+    ]).astype(_F)
+    return tri, sph, cam
+
+
+# --------------------------------------------------------------------------
+# vec3-as-tuple helpers over (A, TILE_H, TILE_W) component arrays
+# --------------------------------------------------------------------------
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _scale(s, a):
+    return (s * a[0], s * a[1], s * a[2])
+
+
+def _det3(a, b, c):
+    """Cofactor expansion, rows (a,b,c) (kernels.cl:31-35)."""
+    return (a[0] * (b[1] * c[2] - b[2] * c[1])
+            - a[1] * (b[0] * c[2] - b[2] * c[0])
+            + a[2] * (b[0] * c[1] - b[1] * c[0]))
+
+
+def _where3(m, a, b):
+    return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]),
+            jnp.where(m, a[2], b[2]))
+
+
+def _xorshift3(s):
+    out = []
+    for v in s:
+        v = v ^ (v << jnp.uint32(13))
+        v = v ^ (v >> jnp.uint32(17))
+        v = v ^ (v << jnp.uint32(5))
+        out.append(v)
+    return tuple(out)
+
+
+def _u32_to_f32(v):
+    """uint32 -> float32 with round-to-nearest, via an exact hi/lo split
+    (Mosaic has no direct u32->f32 cast). hi*65536 and lo are both exactly
+    representable, so the single add rounds exactly like a direct convert."""
+    hi = pltpu.bitcast(v >> jnp.uint32(16), jnp.int32).astype(_F)
+    lo = pltpu.bitcast(v & jnp.uint32(0xFFFF), jnp.int32).astype(_F)
+    return hi * _F(65536.0) + lo
+
+
+def _f32_to_u32(v):
+    """float32 -> uint32 truncation for values < 2^31 (all our uses)."""
+    return pltpu.bitcast(v.astype(jnp.int32), jnp.uint32)
+
+
+def _crush3(s, rng):
+    r = _F(rng)
+    return tuple(r * _u32_to_f32(v) / _UINT_MAX_F - r / _F(2.0) for v in s)
+
+
+# --------------------------------------------------------------------------
+# Kernel
+# --------------------------------------------------------------------------
+
+def _tri_vec(tri_ref, i, base):
+    return (tri_ref[i, base], tri_ref[i, base + 1], tri_ref[i, base + 2])
+
+
+def _nearest_hit(tri_ref, sph_ref, n_tri, n_sph, start, d):
+    """Brute-force nearest hit for the ray bundle (start, d). Returns
+    (t, pos, normal, rgb, mat, id_f) as select-accumulated tile arrays — the
+    TPU-native form of the reference's running-best scan
+    (kernels.cl:92-166): no argmin gather, just masked selects. id_f is the
+    hit object id as f32 (exact for id < 2^24): -1 miss, i for triangle i,
+    n_tri + s for sphere s — the residual the path-replay backward keys on."""
+    shape = d[0].shape
+    inf = jnp.full(shape, _BIG)
+    zero = jnp.zeros(shape)
+
+    def tri_body(i, carry):
+        t_b, px, py, pz, nx, ny, nz, cr, cg, cb, mat, idf = carry
+        v0 = _tri_vec(tri_ref, i, 0)
+        e1 = _tri_vec(tri_ref, i, 3)
+        e2 = _tri_vec(tri_ref, i, 6)
+        b = _sub(start, v0)
+        nd = (-d[0], -d[1], -d[2])
+        detA = _det3(nd, e1, e2)
+        degen = detA == 0
+        recip = _F(1.0) / jnp.where(degen, _F(1.0), detA)
+        t = _det3(b, e1, e2) * recip
+        u = _det3(nd, b, e2) * recip
+        v = _det3(nd, e1, b) * recip
+        ok = ((t >= 0) & (u >= 0) & (v >= 0) & ((u + v) <= 1)
+              & ~degen & (t < t_b))
+        pos = _add(v0, _add(_scale(u, e1), _scale(v, e2)))
+        nrm = _tri_vec(tri_ref, i, 9)
+        return (jnp.where(ok, t, t_b),
+                jnp.where(ok, pos[0], px), jnp.where(ok, pos[1], py),
+                jnp.where(ok, pos[2], pz),
+                jnp.where(ok, nrm[0], nx), jnp.where(ok, nrm[1], ny),
+                jnp.where(ok, nrm[2], nz),
+                jnp.where(ok, tri_ref[i, 12], cr),
+                jnp.where(ok, tri_ref[i, 13], cg),
+                jnp.where(ok, tri_ref[i, 14], cb),
+                jnp.where(ok, tri_ref[i, 15], mat),
+                jnp.where(ok, i.astype(_F), idf))
+
+    carry = (inf, zero, zero, zero, zero, zero, zero, zero, zero, zero,
+             jnp.ones(shape), jnp.full(shape, _F(-1.0)))
+    carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+    t_b, px, py, pz, nx, ny, nz, cr, cg, cb, mat, idf = carry
+
+    for i in range(n_sph):
+        c = (sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2])
+        r2 = sph_ref[i, 3]
+        L = _sub(start, c)
+        a_q = _dot(d, d)
+        b_q = _F(2.0) * _dot(d, L)
+        c_q = _dot(L, L) - r2
+        disc = b_q * b_q - _F(4.0) * a_q * c_q
+        no_sol = disc < 0
+        sq = jnp.sqrt(jnp.where(no_sol, _F(1.0), disc))
+        q = jnp.where(b_q > 0, _F(-0.5) * (b_q + sq), _F(-0.5) * (b_q - sq))
+        qz = q == 0
+        x0 = q / jnp.where(a_q == 0, _F(1.0), a_q)
+        x1 = jnp.where(qz, x0, c_q / jnp.where(qz, _F(1.0), q))
+        xmin = jnp.minimum(x0, x1)
+        xmax = jnp.maximum(x0, x1)
+        cand = jnp.where(xmin >= 0, xmin, xmax)
+        ok = ~no_sol & (cand >= 0) & (cand < t_b)
+        pos = _add(start, _scale(cand, d))
+        pc = _sub(pos, c)
+        pclen = jnp.sqrt(jnp.maximum(_dot(pc, pc), _F(1e-30)))
+        t_b = jnp.where(ok, cand, t_b)
+        px = jnp.where(ok, pos[0], px)
+        py = jnp.where(ok, pos[1], py)
+        pz = jnp.where(ok, pos[2], pz)
+        nx = jnp.where(ok, pc[0] / pclen, nx)
+        ny = jnp.where(ok, pc[1] / pclen, ny)
+        nz = jnp.where(ok, pc[2] / pclen, nz)
+        cr = jnp.where(ok, sph_ref[i, 4], cr)
+        cg = jnp.where(ok, sph_ref[i, 5], cg)
+        cb = jnp.where(ok, sph_ref[i, 6], cb)
+        mat = jnp.where(ok, sph_ref[i, 7], mat)
+        idf = jnp.where(ok, _F(n_tri + i), idf)
+
+    return t_b, (px, py, pz), (nx, ny, nz), (cr, cg, cb), mat, idf
+
+
+def _occluded(tri_ref, sph_ref, n_tri, n_sph, start, d, radius_sq):
+    """Shadow-feeler occlusion (kernels.cl:243-311): glass skipped, masked
+    any() over all objects — one fused reduction, no early exit."""
+    shape = d[0].shape
+
+    def tri_body(i, occ_f):
+        v0 = _tri_vec(tri_ref, i, 0)
+        e1 = _tri_vec(tri_ref, i, 3)
+        e2 = _tri_vec(tri_ref, i, 6)
+        b = _sub(start, v0)
+        nd = (-d[0], -d[1], -d[2])
+        detA = _det3(nd, e1, e2)
+        degen = detA == 0
+        recip = _F(1.0) / jnp.where(degen, _F(1.0), detA)
+        t = _det3(b, e1, e2) * recip
+        dist = t * t * _dot(d, d)
+        u = _det3(nd, b, e2) * recip
+        v = _det3(nd, e1, b) * recip
+        hit = ((t >= 0) & (dist < radius_sq) & (u >= 0) & (v >= 0)
+               & ((u + v) <= 1) & ~degen & (tri_ref[i, 15] != _F(-1.0)))
+        # carried as f32 0/1: Mosaic cannot carry i1 vectors through scf.for
+        return jnp.maximum(occ_f, jnp.where(hit, _F(1.0), _F(0.0)))
+
+    occ = jax.lax.fori_loop(0, n_tri, tri_body, jnp.zeros(shape)) > 0
+    for i in range(n_sph):
+        c = (sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2])
+        r2 = sph_ref[i, 3]
+        L = _sub(start, c)
+        a_q = _dot(d, d)
+        b_q = _F(2.0) * _dot(d, L)
+        c_q = _dot(L, L) - r2
+        disc = b_q * b_q - _F(4.0) * a_q * c_q
+        no_sol = disc < 0
+        sq = jnp.sqrt(jnp.where(no_sol, _F(1.0), disc))
+        q = jnp.where(b_q > 0, _F(-0.5) * (b_q + sq), _F(-0.5) * (b_q - sq))
+        qz = q == 0
+        x0 = q / jnp.where(a_q == 0, _F(1.0), a_q)
+        x1 = jnp.where(qz, x0, c_q / jnp.where(qz, _F(1.0), q))
+        xmin = jnp.minimum(x0, x1)
+        xmax = jnp.maximum(x0, x1)
+        hit = (~no_sol & (sph_ref[i, 7] != _F(-1.0))
+               & (((xmin >= 0) & (xmin * xmin * a_q < radius_sq))
+                  | ((xmax >= 0) & (xmax * xmax * a_q < radius_sq))))
+        occ = occ | hit
+    return occ
+
+
+def _render_kernel(tri_ref, sph_ref, cam_ref, img_ref, packed_ref,
+                   *res_refs, cfg: RenderConfig, n_tri: int, n_sph: int,
+                   with_residuals: bool = False):
+    if with_residuals:
+        # pid: primary hit object id; lit: unoccluded shadow-sample count;
+        # bid: per-bounce hit object id — the decision record consumed by
+        # the path-replay backward (ops/replay.py).
+        if cfg.bounces > 0:
+            pid_ref, lit_ref, bid_ref = res_refs
+        else:
+            pid_ref, lit_ref = res_refs
+            bid_ref = None
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    A = cfg.aa_rays
+    ax, ay = cfg.aa_x, cfg.aa_y
+    W, H = cfg.width, cfg.height
+
+    ys = (i * TILE_H
+          + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0))
+    xs = (j * TILE_W
+          + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1))
+    gid_i = ys * W + xs            # pixel ids < 2^24: exact in i32 and f32
+    gid = pltpu.bitcast(gid_i, jnp.uint32)
+    gid = jnp.broadcast_to(gid[None], (A, TILE_H, TILE_W))
+
+    r0 = (cam_ref[0], cam_ref[1], cam_ref[2])
+    r1 = (cam_ref[3], cam_ref[4], cam_ref[5])
+    r2 = (cam_ref[6], cam_ref[7], cam_ref[8])
+    cam = (cam_ref[9], cam_ref[10], cam_ref[11])
+    light = (cam_ref[12], cam_ref[13], cam_ref[14])
+    light_rgb = (cam_ref[15], cam_ref[16], cam_ref[17])
+    indirect = (cam_ref[18], cam_ref[19], cam_ref[20])
+
+    # --- AA ray generation (kernels.cl:384-407) ---
+    xsf = xs.astype(_F)
+    ysf = ys.astype(_F)
+    bx0 = xsf * _F(ax) - _F(W * ax / 2.0)
+    by0 = ysf * _F(ay) - _F(H * ay / 2.0)
+    focal = _F(cfg.effective_focal)
+    dx = jnp.stack([bx0 + _F(a % ax) for a in range(A)])
+    dy = jnp.stack([by0 + _F(a // ax) for a in range(A)])
+    dz = jnp.full((A, TILE_H, TILE_W), focal)
+    b = (dx, dy, dz)
+    d = (_dot(r0, b), _dot(r1, b), _dot(r2, b))
+    dlen = jnp.sqrt(_dot(d, d))   # divide (not recip-multiply): parity with
+    d = (d[0] / dlen, d[1] / dlen, d[2] / dlen)  # the oracle's normalize
+    start = tuple(jnp.full((A, TILE_H, TILE_W), c) for c in cam)
+
+    # --- primary intersection ---
+    t_b, pos, normal, rgb, mat, prim_idf = _nearest_hit(
+        tri_ref, sph_ref, n_tri, n_sph, start, d)
+    hit = t_b < _BIG
+    prim_diffuse = hit & (mat > 0)
+    if with_residuals:
+        pid_ref[...] = prim_idf.astype(jnp.int32)
+
+    # --- specular bounce loop (wavefront; tile-level early exit) ---
+    shape = (A, TILE_H, TILE_W)
+    if cfg.bounces > 0:
+        def cond(s):
+            # active mask carried as f32 0/1 — Mosaic cannot carry i1
+            # vectors through scf.while
+            return (s[0] < cfg.bounces) & (jnp.max(s[1]) > 0)
+
+        def body(s):
+            (b_i, active_f, dxc, dyc, dzc, px, py, pz, nx, ny, nz, matc,
+             medium, weight, tv_f, tpx, tpy, tpz, tnx, tny, tnz,
+             trr, trg, trb) = s
+            active = active_f > 0
+            dcur = (dxc, dyc, dzc)
+            nrm = (nx, ny, nz)
+            # reflect (kernels.cl:54-65)
+            dn = _dot(dcur, nrm)
+            refl = _sub(dcur, _scale(_F(2.0) * dn, nrm))
+            # refract (kernels.cl:67-88)
+            c1 = _dot(nrm, dcur)
+            nflip = _where3(c1 < 0, _scale(_F(-1.0), nrm), nrm)
+            c1a = jnp.abs(c1)
+            in_air = medium == _F(cfg.ior_air)
+            n1 = jnp.where(in_air, _F(cfg.ior_air), _F(cfg.ior_glass))
+            n2 = jnp.where(in_air, _F(cfg.ior_glass), _F(cfg.ior_air))
+            nr = n1 / n2
+            k = _F(1.0) - nr * nr * (_F(1.0) - c1a * c1a)
+            tir = k < 0
+            c2 = jnp.sqrt(jnp.where(tir, _F(1.0), k))
+            refr = _add(_scale(nr, dcur),
+                        _scale(nr * c1a - c2, _scale(_F(-1.0), nflip)))
+            is_mirror = matc == 0
+            if cfg.quirk_nan_tir:
+                dead = tir & ~is_mirror
+                use_refl = is_mirror
+            else:
+                dead = jnp.zeros_like(tir)
+                use_refl = is_mirror | tir
+            ndir = _where3(use_refl, refl, refr)
+            nmed = jnp.where(use_refl, _F(cfg.ior_air), n2)
+            nstart = _add((px, py, pz), _scale(_F(cfg.bias), ndir))
+            alive = active & ~dead
+            nlen = jnp.sqrt(jnp.maximum(_dot(ndir, ndir), _F(1e-30)))
+            ndir = (ndir[0] / nlen, ndir[1] / nlen, ndir[2] / nlen)
+            if cfg.fresnel:
+                r0f = jnp.square((n1 - n2) / (n1 + n2))
+                refl_w = r0f + (1 - r0f) * (1 - c1a) ** 5
+                w_step = jnp.where(use_refl, _F(1.0), _F(1.0) - refl_w)
+                weight = jnp.where(alive, weight * w_step, weight)
+
+            t_n, pos_n, nrm_n, rgb_n, mat_n, idf_n = _nearest_hit(
+                tri_ref, sph_ref, n_tri, n_sph, nstart, ndir)
+            hit_n = t_n < _BIG
+            diffuse = alive & hit_n & (mat_n > 0)
+            cont = alive & hit_n & (mat_n <= 0)
+            if with_residuals:
+                bid_ref[b_i] = jnp.where(alive, idf_n,
+                                         _F(-1.0)).astype(jnp.int32)
+            return (b_i + 1, jnp.where(cont, _F(1.0), _F(0.0)),
+                    jnp.where(cont, ndir[0], dxc),
+                    jnp.where(cont, ndir[1], dyc),
+                    jnp.where(cont, ndir[2], dzc),
+                    jnp.where(cont, pos_n[0], px),
+                    jnp.where(cont, pos_n[1], py),
+                    jnp.where(cont, pos_n[2], pz),
+                    jnp.where(cont, nrm_n[0], nx),
+                    jnp.where(cont, nrm_n[1], ny),
+                    jnp.where(cont, nrm_n[2], nz),
+                    jnp.where(cont, mat_n, matc),
+                    jnp.where(cont, nmed, medium),
+                    weight,
+                    jnp.maximum(tv_f, jnp.where(diffuse, _F(1.0), _F(0.0))),
+                    jnp.where(diffuse, pos_n[0], tpx),
+                    jnp.where(diffuse, pos_n[1], tpy),
+                    jnp.where(diffuse, pos_n[2], tpz),
+                    jnp.where(diffuse, nrm_n[0], tnx),
+                    jnp.where(diffuse, nrm_n[1], tny),
+                    jnp.where(diffuse, nrm_n[2], tnz),
+                    jnp.where(diffuse, rgb_n[0], trr),
+                    jnp.where(diffuse, rgb_n[1], trg),
+                    jnp.where(diffuse, rgb_n[2], trb))
+
+        zero = jnp.zeros(shape)
+        if with_residuals:
+            # steps skipped by the early exit must read as "inactive"
+            bid_ref[...] = jnp.full((cfg.bounces,) + shape, -1, jnp.int32)
+        init = (jnp.int32(0),
+                jnp.where(hit & (mat <= 0), _F(1.0), _F(0.0)),
+                d[0], d[1], d[2], pos[0], pos[1], pos[2],
+                normal[0], normal[1], normal[2], mat,
+                jnp.full(shape, _F(cfg.ior_air)),
+                jnp.ones(shape),
+                zero,
+                zero, zero, zero, zero, zero, zero, zero, zero, zero)
+        out = jax.lax.while_loop(cond, body, init)
+        (_, _, _, _, _, _, _, _, _, _, _, _, _, weight, term_valid_f,
+         tpx, tpy, tpz, tnx, tny, tnz, trr, trg, trb) = out
+        term_valid = term_valid_f > 0
+        term_pos = (tpx, tpy, tpz)
+        term_nrm = (tnx, tny, tnz)
+        term_rgb = (trr, trg, trb)
+    else:
+        weight = jnp.ones(shape)
+        term_valid = jnp.zeros(shape, jnp.bool_)
+        term_pos = term_nrm = term_rgb = (jnp.zeros(shape),) * 3
+
+    # --- unified shading point + one soft-shadow pass ---
+    sp_pos = _where3(prim_diffuse, pos, term_pos)
+    sp_nrm = _where3(prim_diffuse, normal, term_nrm)
+
+    sdir = _sub(tuple(jnp.broadcast_to(jnp.reshape(c, (1, 1, 1)), shape)
+                      for c in light), sp_pos)
+    sstart = _add(sp_pos, _scale(_F(cfg.bias), sdir))
+    radius_sq = _dot(sdir, sdir)
+    rs_safe = jnp.where(radius_sq == 0, _F(1.0), radius_sq)
+    lam_base = jnp.maximum(_dot(sdir, sp_nrm), 0.0) / (_PI4 * rs_safe)
+    lam_base = jnp.where(radius_sq == 0, _F(0.0), lam_base)
+
+    gf = _u32_to_f32(gid)
+    state = _xorshift3((gid,
+                        _f32_to_u32(gf * _F(91.0)),
+                        _f32_to_u32(gf * _F(19.0))))
+    lit_count = jnp.zeros(shape)
+    for _ in range(cfg.shadow_samples):
+        state = _xorshift3(state)
+        jit3 = _crush3(state, cfg.light_spread)
+        occ = _occluded(tri_ref, sph_ref, n_tri, n_sph, sstart,
+                        _add(sdir, jit3), radius_sq)
+        lit_count = lit_count + jnp.where(occ, _F(0.0), _F(1.0))
+    if with_residuals:
+        lit_ref[...] = lit_count
+    dl_scale = lit_count * lam_base / _F(cfg.shadow_samples)
+    dl = tuple(jnp.reshape(c, (1, 1, 1)) * dl_scale for c in light_rgb)
+
+    # --- combine (kernels.cl:415-425) ---
+    color = tuple(
+        jnp.where(prim_diffuse,
+                  rgb[c] * (jnp.reshape(indirect[c], (1, 1, 1)) + dl[c]),
+                  0.0)
+        for c in range(3))
+    if cfg.bounces > 0:
+        color = tuple(
+            jnp.where(term_valid,
+                      _F(0.9) * (jnp.reshape(indirect[c], (1, 1, 1)) + dl[c])
+                      * term_rgb[c] * weight,
+                      color[c])
+            for c in range(3))
+
+    # --- AA average + outputs ---
+    inv_a = _F(1.0 / A)
+    final = tuple(jnp.sum(c, axis=0) * inv_a for c in color)
+    img_ref[0] = final[0]
+    img_ref[1] = final[1]
+    img_ref[2] = final[2]
+    u8 = tuple(_f32_to_u32(jnp.clip(_F(255.0) * c, 0.0, 255.0))
+               for c in final)
+    packed_ref[...] = ((jnp.uint32(255) << jnp.uint32(24))
+                       + (u8[0] << jnp.uint32(16))
+                       + (u8[1] << jnp.uint32(8)) + u8[2])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_tri", "n_sph",
+                                             "hp", "wp", "interpret",
+                                             "with_residuals"))
+def _call_kernel(tri, sph, cam, cfg: RenderConfig, n_tri: int, n_sph: int,
+                 hp: int, wp: int, interpret: bool = False,
+                 with_residuals: bool = False):
+    """Launch over a (hp, wp) padded canvas; the kernel's math uses the
+    *logical* cfg dimensions (ray centering, pixel-id RNG seeds), so padded
+    lanes render harmless off-screen content that the caller crops."""
+    grid = (hp // TILE_H, wp // TILE_W)
+    A = cfg.aa_rays
+    kernel = functools.partial(_render_kernel, cfg=cfg, n_tri=n_tri,
+                               n_sph=n_sph, with_residuals=with_residuals)
+    out_specs = [
+        pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
+        jax.ShapeDtypeStruct((hp, wp), jnp.uint32),
+    ]
+    if with_residuals:
+        out_specs += [
+            pl.BlockSpec((A, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((A, hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((A, hp, wp), jnp.float32),
+        ]
+        if cfg.bounces > 0:
+            out_specs.append(
+                pl.BlockSpec((cfg.bounces, A, TILE_H, TILE_W),
+                             lambda i, j: (0, 0, i, j),
+                             memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((cfg.bounces, A, hp, wp), jnp.int32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tri, sph, cam)
+    h, w = cfg.height, cfg.width
+    img, packed = outs[0][:, :h, :w], outs[1][:h, :w]
+    if not with_residuals:
+        return img, packed
+    pid = outs[2][:, :h, :w]
+    lit = outs[3][:, :h, :w]
+    bid = (outs[4][:, :, :h, :w] if cfg.bounces > 0
+           else jnp.zeros((0, A, h, w), jnp.int32))
+    return img, packed, pid, lit, bid
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def render_fused_raw(scene: Scene, cfg: RenderConfig,
+                     interpret: bool = False):
+    """Forward render via the fused Pallas kernel.
+
+    Returns (image [H, W, 3] float32, packed [H, W] uint32). Any image size:
+    the launch grid is padded up to the (8, 128) tile and cropped. Not
+    differentiable directly; render.py wires a custom_vjp whose backward is
+    the autodiff of the jnp path."""
+    if cfg.cpu_ref:
+        raise ValueError("pallas backend does not implement cpu_ref mode")
+    tri, sph, cam = pack_scene(scene)
+    n_sph = scene.sph_center.shape[0]
+    img, packed = _call_kernel(
+        tri, sph, cam, cfg, scene.tri_v0.shape[0], n_sph,
+        _round_up(cfg.height, TILE_H), _round_up(cfg.width, TILE_W),
+        interpret)
+    return jnp.transpose(img, (1, 2, 0)), packed
+
+
+def render_fused_res(scene: Scene, cfg: RenderConfig,
+                     interpret: bool = False):
+    """Forward render that also returns the decision residuals consumed by
+    the path-replay backward: (image, packed, Residuals)."""
+    from ..ops.replay import Residuals
+    if cfg.cpu_ref:
+        raise ValueError("pallas backend does not implement cpu_ref mode")
+    tri, sph, cam = pack_scene(scene)
+    n_sph = scene.sph_center.shape[0]
+    img, packed, pid, lit, bid = _call_kernel(
+        tri, sph, cam, cfg, scene.tri_v0.shape[0], n_sph,
+        _round_up(cfg.height, TILE_H), _round_up(cfg.width, TILE_W),
+        interpret, with_residuals=True)
+    return (jnp.transpose(img, (1, 2, 0)), packed,
+            Residuals(prim_id=pid, lit_cnt=lit, bounce_id=bid))

@@ -83,20 +83,25 @@ def _schlick(c1, n1, n2):
     return r0 + (1 - r0) * (1 - c1) ** 5
 
 
-def secondary_light(ds: DeviceScene, cfg: RenderConfig, primary: Hit, d, gid,
-                    tri_axis: str | None = None):
-    """Wavefront specular bounce loop (``kernels.cl:342-365``).
-
-    A ray stays active while its last hit is specular (mat <= 0); hitting a
-    diffuse surface contributes 0.9*(indirect + direct)*color; escaping (or
-    exhausting the bounce budget) is black. With ``cfg.quirk_nan_tir`` a
+def trace_specular(ds: DeviceScene, cfg: RenderConfig, primary: Hit, d,
+                   tri_axis: str | None = None):
+    """Wavefront specular bounce loop (``kernels.cl:342-365``) — geometry
+    only. A ray stays active while its last hit is specular (mat <= 0); the
+    loop records the *terminal* diffuse hit (position, normal, color,
+    Fresnel throughput) and leaves shading to the caller, so the expensive
+    soft-shadow sampling runs once per ray instead of once per bounce.
+    Escape / exhausted budget / quirk-TIR death leave term_valid False
+    (black, as in the reference). With ``cfg.quirk_nan_tir`` a
     total-internal-reflection event kills the ray (the reference's NaN
     direction renders black); otherwise TIR reflects. With ``cfg.fresnel``
     refraction is attenuated by Schlick transmittance (extension)."""
     n_rays = d.shape[0]
     state0 = dict(
         active=primary.hit & (primary.mat <= 0),
-        result=jnp.zeros((n_rays, 3), jnp.float32),
+        term_valid=jnp.zeros((n_rays,), bool),
+        term_pos=jnp.zeros((n_rays, 3), jnp.float32),
+        term_normal=jnp.zeros((n_rays, 3), jnp.float32),
+        term_rgb=jnp.zeros((n_rays, 3), jnp.float32),
         weight=jnp.ones((n_rays,), jnp.float32),
         d=d,
         pos=primary.pos,
@@ -130,41 +135,59 @@ def secondary_light(ds: DeviceScene, cfg: RenderConfig, primary: Hit, d, gid,
 
         hit = intersect(ds, new_start, new_dir, tri_axis)
         diffuse = alive & hit.hit & (hit.mat > 0)
-        dl = direct_light(ds, cfg, hit.pos, hit.normal, gid, tri_axis)
-        shade_val = (jnp.float32(0.9) * (ds.indirect[None] + dl) * hit.rgb
-                     * weight[:, None])
-        result = jnp.where(diffuse[:, None], shade_val, s["result"])
-
+        keep_t = diffuse[:, None]
         cont = alive & hit.hit & (hit.mat <= 0)
         keep = cont[:, None]
+        n_active = jnp.sum(alive.astype(jnp.int32))
         return dict(
             active=cont,
-            result=result,
+            term_valid=s["term_valid"] | diffuse,
+            term_pos=jnp.where(keep_t, hit.pos, s["term_pos"]),
+            term_normal=jnp.where(keep_t, hit.normal, s["term_normal"]),
+            term_rgb=jnp.where(keep_t, hit.rgb, s["term_rgb"]),
             weight=weight,
             d=jnp.where(keep, new_dir, s["d"]),
             pos=jnp.where(keep, hit.pos, s["pos"]),
             normal=jnp.where(keep, hit.normal, s["normal"]),
             mat=jnp.where(cont, hit.mat, s["mat"]),
             medium=jnp.where(cont, new_medium, s["medium"]),
-        ), None
+        ), n_active
 
-    final, _ = jax.lax.scan(jax.checkpoint(bounce), state0, None,
-                            length=cfg.bounces)
-    return final["result"]
+    final, n_active = jax.lax.scan(jax.checkpoint(bounce), state0, None,
+                                   length=cfg.bounces)
+    final["bounce_rays"] = jnp.sum(n_active)
+    return final
 
 
 def shade(ds: DeviceScene, cfg: RenderConfig, start, d, gid,
           tri_axis: str | None = None):
-    """Full per-ray radiance (``kernels.cl:411-425``): nearest hit, then
-    diffuse = color*(indirect + direct), specular = bounce loop, miss = black."""
+    """Full per-ray radiance (``kernels.cl:411-425``): nearest hit, bounce
+    loop for specular rays, then ONE soft-shadow evaluation at the unified
+    shading point (the primary hit for diffuse rays, the bounce-terminal
+    hit for specular rays — both use the same pixel-seeded RNG stream, so
+    the result is identical to shading inside the loop as the reference
+    does, at a tenth of the shadow-ray cost)."""
     primary = intersect(ds, start, d, tri_axis)
-    dl = direct_light(ds, cfg, primary.pos, primary.normal, gid, tri_axis)
-    diffuse_col = primary.rgb * (ds.indirect[None] + dl)
-    color = jnp.where((primary.hit & (primary.mat > 0))[:, None],
-                      diffuse_col, 0.0)
+    prim_diffuse = primary.hit & (primary.mat > 0)
+
     if cfg.bounces > 0:
-        sec = secondary_light(ds, cfg, primary, d, gid, tri_axis)
-        color = jnp.where((primary.hit & (primary.mat <= 0))[:, None], sec, color)
+        term = trace_specular(ds, cfg, primary, d, tri_axis)
+        term_valid = term["term_valid"]
+        sp_pos = jnp.where(prim_diffuse[:, None], primary.pos, term["term_pos"])
+        sp_normal = jnp.where(prim_diffuse[:, None], primary.normal,
+                              term["term_normal"])
+    else:
+        term = None
+        term_valid = jnp.zeros_like(prim_diffuse)
+        sp_pos, sp_normal = primary.pos, primary.normal
+
+    dl = direct_light(ds, cfg, sp_pos, sp_normal, gid, tri_axis)
+    color = jnp.where(prim_diffuse[:, None],
+                      primary.rgb * (ds.indirect[None] + dl), 0.0)
+    if term is not None:
+        sec = (jnp.float32(0.9) * (ds.indirect[None] + dl) * term["term_rgb"]
+               * term["weight"][:, None])
+        color = jnp.where(term_valid[:, None], sec, color)
     return color
 
 

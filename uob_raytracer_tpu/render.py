@@ -69,24 +69,80 @@ def render_flat(scene: Scene, cfg: RenderConfig, chunk_rows: int | None = None):
     return colors.reshape(H, W, A, 3)
 
 
-def render_image(scene: Scene, cfg: RenderConfig,
-                 chunk_rows: int | None = None) -> jax.Array:
+def _render_image_jnp(scene: Scene, cfg: RenderConfig,
+                      chunk_rows: int | None = None) -> jax.Array:
     """Float image [H, W, 3]: AA rays averaged (``kernels.cl:427``)."""
     colors = render_flat(scene, cfg, chunk_rows)
     return colors.sum(axis=2) / jnp.float32(colors.shape[2])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "chunk_rows"))
-def _render_jit(scene: Scene, cfg: RenderConfig, chunk_rows):
-    img = render_image(scene, cfg, chunk_rows)
+# --------------------------------------------------------------------------
+# Pallas backend: fused forward kernel + path-replay backward.
+# The forward kernel records each ray's discrete decisions (hit object ids
+# per bounce, shadow lit counts); the backward differentiates the lean
+# replay reconstruction (ops/replay.py) of the radiance with those decisions
+# frozen — exact under the framework's piecewise-constant-visibility
+# gradient semantics (SURVEY.md §7) and O(rays) instead of
+# O(rays x triangles).
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _render_image_pallas(scene: Scene, cfg: RenderConfig) -> jax.Array:
+    from .kernels import render_fused_raw
+    img, _ = render_fused_raw(scene, cfg)
+    return img
+
+
+def _pallas_fwd(scene, cfg):
+    from .kernels.render_fwd import render_fused_res
+    img, _, res = render_fused_res(scene, cfg)
+    return img, (scene, res)
+
+
+def _pallas_bwd(cfg, saved, g):
+    from .ops.replay import replay_forward
+    scene, res = saved
+    _, vjp = jax.vjp(lambda s: replay_forward(s, cfg, res), scene)
+    return vjp(g)
+
+
+_render_image_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+def _resolve_backend(backend: str, cfg: RenderConfig) -> str:
+    if backend == "auto":
+        if cfg.cpu_ref:
+            return "jnp"
+        return "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+    return backend
+
+
+def render_image(scene: Scene, cfg: RenderConfig,
+                 chunk_rows: int | None = None,
+                 backend: str = "auto") -> jax.Array:
+    """Differentiable float image [H, W, 3].
+
+    backend: 'pallas' (fused TPU kernel forward, jnp-autodiff backward),
+    'jnp' (pure-jnp pipeline), or 'auto' (pallas on accelerators, jnp on
+    CPU / for cpu_ref mode)."""
+    backend = _resolve_backend(backend, cfg)
+    if backend == "pallas":
+        return _render_image_pallas(scene, cfg)
+    return _render_image_jnp(scene, cfg, chunk_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk_rows", "backend"))
+def _render_jit(scene: Scene, cfg: RenderConfig, chunk_rows, backend):
+    img = render_image(scene, cfg, chunk_rows, backend)
     return RenderResult(image=img, packed=pack_argb(img))
 
 
 def render(scene: Scene, cfg: RenderConfig,
-           chunk_rows: int | None = None) -> RenderResult:
+           chunk_rows: int | None = None,
+           backend: str = "auto") -> RenderResult:
     """Render a frame (jitted). Returns the float image and the packed
     ARGB8888 screen buffer."""
-    return _render_jit(scene, cfg, chunk_rows)
+    return _render_jit(scene, cfg, chunk_rows, _resolve_backend(backend, cfg))
 
 
 def render_packed(scene: Scene, cfg: RenderConfig) -> jax.Array:
