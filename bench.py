@@ -59,14 +59,30 @@ def logical_ray_count(scene, cfg) -> int:
     return n_primary + int(n_shaded) * cfg.shadow_samples + int(n_bounce)
 
 
-def time_fn(fn, iters: int) -> float:
-    fn()  # warmup (compile)
-    jax.block_until_ready(fn())
+def time_scalar_fn(scalar_fn, scene, iters: int) -> float:
+    """Time ``scalar_fn(scene) -> f32 scalar`` per call, robustly.
+
+    The per-iteration work is chained inside ONE jitted fori_loop — each
+    iteration perturbs the scene by a value depending on the previous
+    result, so XLA cannot hoist or deduplicate it — and the final scalar is
+    fetched to the host, which forces completion even on backends whose
+    block_until_ready is optimistic (the axon TPU tunnel). This measures
+    true device throughput, free of per-dispatch overhead."""
+    import dataclasses
+
+    @jax.jit
+    def run(s):
+        def body(_, carry):
+            acc, s2 = carry
+            s3 = dataclasses.replace(
+                s2, light_pos=s2.light_pos + acc * 1e-12 + 1e-6)
+            return acc + scalar_fn(s3), s3
+        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0.0), s))
+        return acc
+
+    float(run(scene))  # compile + warm
     t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
+    float(run(scene))
     return (time.perf_counter() - t0) / iters
 
 
@@ -94,18 +110,24 @@ def main() -> None:
           f"s{cfg.shadow_samples} b{cfg.bounces})", file=sys.stderr)
 
     # forward-only (fused Pallas kernel on accelerators)
-    fwd = jax.jit(lambda s: render_image(s, cfg, backend=args.backend))
-    dt_fwd = time_fn(lambda: fwd(scene), args.iters)
+    dt_fwd = time_scalar_fn(
+        lambda s: jnp.mean(render_image(s, cfg, backend=args.backend)),
+        scene, args.iters)
     print(f"# forward: {dt_fwd*1e3:.2f} ms/frame = {rays/dt_fwd:.3e} rays/s",
           file=sys.stderr)
 
     # forward+backward: gradient of a scalar image loss w.r.t. every scene
     # parameter (vertices, colors, light, camera)
-    def loss(s):
-        return jnp.mean(render_image(s, cfg, backend=args.backend))
+    def loss_grad(s):
+        v, g = jax.value_and_grad(
+            lambda ss: jnp.mean(render_image(ss, cfg,
+                                             backend=args.backend)))(s)
+        # fold a bit of every gradient leaf into the timed scalar so the
+        # whole backward pass is live
+        return v + sum(jnp.sum(x) * 1e-12
+                       for x in jax.tree_util.tree_leaves(g))
 
-    step = jax.jit(jax.value_and_grad(loss))
-    dt_step = time_fn(lambda: step(scene), max(2, args.iters // 2))
+    dt_step = time_scalar_fn(loss_grad, scene, max(2, args.iters // 2))
     print(f"# fwd+bwd: {dt_step*1e3:.2f} ms/step = {rays/dt_step:.3e} rays/s",
           file=sys.stderr)
 

@@ -163,8 +163,13 @@ def _best_triangle(ds: DeviceScene, start, d) -> _TriBest:
 def _combine_tri_best(best: _TriBest, tri_axis: str) -> _TriBest:
     """Cross-shard nearest-hit reduction: min t, ties to the lowest global
     triangle index (the reference's scan order), attributes gathered from the
-    winning shard by masked psum."""
-    t_g = jax.lax.pmin(best.t, tri_axis)
+    winning shard by masked psum.
+
+    t is wrapped in stop_gradient before the pmin: jax has no pmin
+    differentiation rule, and none is needed — downstream t only feeds
+    comparisons (zero gradient); the differentiable hit attributes travel
+    through the psum, which transposes fine."""
+    t_g = jax.lax.pmin(jax.lax.stop_gradient(best.t), tri_axis)
     at_min = best.t == t_g
     cand = jnp.where(at_min, best.idx, _IMAX)
     idx_g = jax.lax.pmin(cand, tri_axis)
