@@ -59,7 +59,8 @@ def pack_scene(scene: Scene):
     nn = jnp.sum(n * n, axis=-1, keepdims=True)
     n = n / jnp.sqrt(jnp.where(nn == 0, 1.0, nn))
     tri = jnp.concatenate(
-        [v0, e1, e2, n, scene.tri_rgb, scene.tri_mat[:, None]], axis=1)
+        [v0, e1, e2, n, scene.tri_rgb, scene.tri_mat[:, None],
+         jnp.cross(e1, e2)], axis=1)
 
     if scene.sph_center.shape[0]:
         sph = jnp.concatenate([
@@ -149,6 +150,98 @@ def _tri_vec(tri_ref, i, base):
     return (tri_ref[i, base], tri_ref[i, base + 1], tri_ref[i, base + 2])
 
 
+def _cross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _lit_count(tri_ref, sph_ref, n_tri, n_sph, start, sdir, state, radius_sq,
+               cfg: RenderConfig):
+    """Unoccluded-sample count for the soft-shadow pass — the hot loop.
+
+    Two restructurings over the naive per-sample scan (identical semantics
+    up to boundary-epsilon rounding):
+    * determinants are linear in the ray direction, so the per-triangle
+      invariants (E = e1 x e2 from the table, b, t_num = b.E, b x e2,
+      e1 x b) hoist out of the sample loop — each of the S jittered rays
+      costs only three dot products and the accept test;
+    * the accept test is division-free: t >= 0 becomes t_num*detA >= 0,
+      |t d|^2 < r^2 becomes t_num^2 |d|^2 < r^2 detA^2, and u,v,u+v tests
+      multiply through by detA — no reciprocal anywhere in the loop.
+    """
+    shape = sdir[0].shape
+    S = cfg.shadow_samples
+    # Jittered directions (RNG stream exactly as kernels.cl:331): sample s
+    # uses the (s+1)-th xorshift of the pixel seed.
+    dirs, dds = [], []
+    for _ in range(S):
+        state = _xorshift3(state)
+        j3 = _crush3(state, cfg.light_spread)
+        ds = _add(sdir, j3)
+        dirs.append(ds)
+        dds.append(_dot(ds, ds))
+
+    def tri_body(i, occs):
+        v0 = _tri_vec(tri_ref, i, 0)
+        e1 = _tri_vec(tri_ref, i, 3)
+        e2 = _tri_vec(tri_ref, i, 6)
+        E = _tri_vec(tri_ref, i, 16)          # cross(e1, e2), precomputed
+        b = _sub(start, v0)
+        t_num = _dot(b, E)
+        t_num2 = t_num * t_num
+        B2 = _cross(b, e2)
+        B1 = _cross(e1, b)
+        not_glass = tri_ref[i, 15] != _F(-1.0)
+        new = []
+        for s in range(S):
+            dA = -_dot(dirs[s], E)
+            u_n = -_dot(dirs[s], B2)
+            v_n = -_dot(dirs[s], B1)
+            dA2 = dA * dA
+            hit = ((t_num * dA >= 0)
+                   & (t_num2 * dds[s] < radius_sq * dA2)
+                   & (u_n * dA >= 0) & (v_n * dA >= 0)
+                   & ((u_n + v_n) * dA <= dA2)
+                   & (dA != 0) & not_glass)
+            new.append(jnp.maximum(occs[s],
+                                   jnp.where(hit, _F(1.0), _F(0.0))))
+        return tuple(new)
+
+    occs = jax.lax.fori_loop(0, n_tri, tri_body,
+                             tuple(jnp.zeros(shape) for _ in range(S)))
+    occs = list(occs)
+
+    for i in range(n_sph):
+        c = (sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2])
+        r2 = sph_ref[i, 3]
+        not_glass = sph_ref[i, 7] != _F(-1.0)
+        L = _sub(start, c)
+        c_q = _dot(L, L) - r2
+        for s in range(S):
+            a_q = dds[s]
+            b_q = _F(2.0) * _dot(dirs[s], L)
+            disc = b_q * b_q - _F(4.0) * a_q * c_q
+            no_sol = disc < 0
+            sq = jnp.sqrt(jnp.where(no_sol, _F(1.0), disc))
+            q = jnp.where(b_q > 0, _F(-0.5) * (b_q + sq),
+                          _F(-0.5) * (b_q - sq))
+            qz = q == 0
+            x0 = q / jnp.where(a_q == 0, _F(1.0), a_q)
+            x1 = jnp.where(qz, x0, c_q / jnp.where(qz, _F(1.0), q))
+            xmin = jnp.minimum(x0, x1)
+            xmax = jnp.maximum(x0, x1)
+            hit = (~no_sol & not_glass
+                   & (((xmin >= 0) & (xmin * xmin * a_q < radius_sq))
+                      | ((xmax >= 0) & (xmax * xmax * a_q < radius_sq))))
+            occs[s] = jnp.maximum(occs[s], jnp.where(hit, _F(1.0), _F(0.0)))
+
+    lit = jnp.full(shape, _F(S))
+    for s in range(S):
+        lit = lit - occs[s]
+    return lit
+
+
 def _nearest_hit(tri_ref, sph_ref, n_tri, n_sph, start, d):
     """Brute-force nearest hit for the ray bundle (start, d). Returns
     (t, pos, normal, rgb, mat, id_f) as select-accumulated tile arrays — the
@@ -228,53 +321,6 @@ def _nearest_hit(tri_ref, sph_ref, n_tri, n_sph, start, d):
         idf = jnp.where(ok, _F(n_tri + i), idf)
 
     return t_b, (px, py, pz), (nx, ny, nz), (cr, cg, cb), mat, idf
-
-
-def _occluded(tri_ref, sph_ref, n_tri, n_sph, start, d, radius_sq):
-    """Shadow-feeler occlusion (kernels.cl:243-311): glass skipped, masked
-    any() over all objects — one fused reduction, no early exit."""
-    shape = d[0].shape
-
-    def tri_body(i, occ_f):
-        v0 = _tri_vec(tri_ref, i, 0)
-        e1 = _tri_vec(tri_ref, i, 3)
-        e2 = _tri_vec(tri_ref, i, 6)
-        b = _sub(start, v0)
-        nd = (-d[0], -d[1], -d[2])
-        detA = _det3(nd, e1, e2)
-        degen = detA == 0
-        recip = _F(1.0) / jnp.where(degen, _F(1.0), detA)
-        t = _det3(b, e1, e2) * recip
-        dist = t * t * _dot(d, d)
-        u = _det3(nd, b, e2) * recip
-        v = _det3(nd, e1, b) * recip
-        hit = ((t >= 0) & (dist < radius_sq) & (u >= 0) & (v >= 0)
-               & ((u + v) <= 1) & ~degen & (tri_ref[i, 15] != _F(-1.0)))
-        # carried as f32 0/1: Mosaic cannot carry i1 vectors through scf.for
-        return jnp.maximum(occ_f, jnp.where(hit, _F(1.0), _F(0.0)))
-
-    occ = jax.lax.fori_loop(0, n_tri, tri_body, jnp.zeros(shape)) > 0
-    for i in range(n_sph):
-        c = (sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2])
-        r2 = sph_ref[i, 3]
-        L = _sub(start, c)
-        a_q = _dot(d, d)
-        b_q = _F(2.0) * _dot(d, L)
-        c_q = _dot(L, L) - r2
-        disc = b_q * b_q - _F(4.0) * a_q * c_q
-        no_sol = disc < 0
-        sq = jnp.sqrt(jnp.where(no_sol, _F(1.0), disc))
-        q = jnp.where(b_q > 0, _F(-0.5) * (b_q + sq), _F(-0.5) * (b_q - sq))
-        qz = q == 0
-        x0 = q / jnp.where(a_q == 0, _F(1.0), a_q)
-        x1 = jnp.where(qz, x0, c_q / jnp.where(qz, _F(1.0), q))
-        xmin = jnp.minimum(x0, x1)
-        xmax = jnp.maximum(x0, x1)
-        hit = (~no_sol & (sph_ref[i, 7] != _F(-1.0))
-               & (((xmin >= 0) & (xmin * xmin * a_q < radius_sq))
-                  | ((xmax >= 0) & (xmax * xmax * a_q < radius_sq))))
-        occ = occ | hit
-    return occ
 
 
 def _render_kernel(tri_ref, sph_ref, cam_ref, img_ref, packed_ref,
@@ -456,13 +502,8 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, img_ref, packed_ref,
     state = _xorshift3((gid,
                         _f32_to_u32(gf * _F(91.0)),
                         _f32_to_u32(gf * _F(19.0))))
-    lit_count = jnp.zeros(shape)
-    for _ in range(cfg.shadow_samples):
-        state = _xorshift3(state)
-        jit3 = _crush3(state, cfg.light_spread)
-        occ = _occluded(tri_ref, sph_ref, n_tri, n_sph, sstart,
-                        _add(sdir, jit3), radius_sq)
-        lit_count = lit_count + jnp.where(occ, _F(0.0), _F(1.0))
+    lit_count = _lit_count(tri_ref, sph_ref, n_tri, n_sph, sstart, sdir,
+                           state, radius_sq, cfg)
     if with_residuals:
         lit_ref[...] = lit_count
     dl_scale = lit_count * lam_base / _F(cfg.shadow_samples)
@@ -573,6 +614,7 @@ def render_fused_raw(scene: Scene, cfg: RenderConfig,
     the autodiff of the jnp path."""
     if cfg.cpu_ref:
         raise ValueError("pallas backend does not implement cpu_ref mode")
+    _check_scene_fits(scene)
     tri, sph, cam = pack_scene(scene)
     n_sph = scene.sph_center.shape[0]
     img, packed = _call_kernel(
@@ -582,6 +624,23 @@ def render_fused_raw(scene: Scene, cfg: RenderConfig,
     return jnp.transpose(img, (1, 2, 0)), packed
 
 
+# The scene tables live in SMEM (the register-adjacent scalar memory); its
+# budget caps the brute-force scene size for this kernel. Larger scenes
+# (big OBJ meshes) use the jnp pipeline, or the triangle-sharded ('tp')
+# mesh path which splits the table across chips. A VMEM-staged
+# triangle-blocked kernel variant is the planned lift for O(10^4) triangles.
+MAX_SMEM_TRIANGLES = 512
+
+
+def _check_scene_fits(scene: Scene) -> None:
+    t = scene.tri_v0.shape[0]
+    if t > MAX_SMEM_TRIANGLES:
+        raise ValueError(
+            f"pallas kernel supports up to {MAX_SMEM_TRIANGLES} triangles "
+            f"(scene has {t}); use backend='jnp' or shard the triangle axis "
+            f"over a 'tp' mesh (uob_raytracer_tpu.parallel)")
+
+
 def render_fused_res(scene: Scene, cfg: RenderConfig,
                      interpret: bool = False):
     """Forward render that also returns the decision residuals consumed by
@@ -589,6 +648,7 @@ def render_fused_res(scene: Scene, cfg: RenderConfig,
     from ..ops.replay import Residuals
     if cfg.cpu_ref:
         raise ValueError("pallas backend does not implement cpu_ref mode")
+    _check_scene_fits(scene)
     tri, sph, cam = pack_scene(scene)
     n_sph = scene.sph_center.shape[0]
     img, packed, pid, lit, bid = _call_kernel(

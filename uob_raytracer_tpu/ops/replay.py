@@ -75,14 +75,31 @@ def _gather_rows(table, ids):
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def _gather_hit(table, n_tri: int, ids, start, d):
-    """Differentiable hit reconstruction against the known object ``ids``.
+def _gather_rows_batched(table, id_list, max_bytes=1 << 28):
+    """Gather several id vectors in as few matmuls as possible: the gathers
+    depend only on the ids (recorded decisions), never on per-step ray
+    state, so they can all be hoisted ahead of the replay math. Groups are
+    sized so the transient one-hot stays under ~max_bytes."""
+    if not id_list:
+        return []
+    n = id_list[0].shape[0]
+    per = n * table.shape[0] * 4
+    group = max(1, max_bytes // max(per, 1))
+    out = []
+    for i in range(0, len(id_list), group):
+        chunk = id_list[i:i + group]
+        rows = _gather_rows(table, jnp.concatenate(chunk))
+        out.extend(jnp.split(rows, len(chunk)))
+    return out
+
+
+def _hit_from_row(row, n_tri: int, ids, start, d):
+    """Differentiable hit reconstruction from a pre-gathered object row.
 
     Recomputes the reference formulas (Cramer t/u/v for the identified
     triangle, the stable quadratic root for the identified sphere) so values
     match the forward kernel on the smooth branch. Returns
     (pos, normal, rgb, mat, valid)."""
-    row = _gather_rows(table, ids)
     is_sph = ids >= n_tri
     valid = ids >= 0
 
@@ -152,7 +169,11 @@ def replay_forward(scene: Scene, cfg: RenderConfig, res: Residuals):
     table = build_object_table(scene)
     n_tri = scene.tri_v0.shape[0]
     prim_id = res.prim_id.reshape(-1)
-    pos, normal, rgb, mat, valid = _gather_hit(table, n_tri, prim_id, start, d)
+    n_b = res.bounce_id.shape[0] if cfg.bounces > 0 else 0
+    all_rows = _gather_rows_batched(
+        table, [prim_id] + [res.bounce_id[b].reshape(-1) for b in range(n_b)])
+    pos, normal, rgb, mat, valid = _hit_from_row(all_rows[0], n_tri, prim_id,
+                                                 start, d)
     prim_diffuse = valid & (mat > 0)
 
     # --- bounce chain replay ---
@@ -200,8 +221,8 @@ def replay_forward(scene: Scene, cfg: RenderConfig, res: Residuals):
                 w_step = jnp.where(use_refl, _F(1.0), _F(1.0) - refl_w)
                 weight = jnp.where(alive, weight * w_step, weight)
 
-            h_pos, h_nrm, h_rgb, h_mat, h_valid = _gather_hit(
-                table, n_tri, ids_b, nstart, ndir)
+            h_pos, h_nrm, h_rgb, h_mat, h_valid = _hit_from_row(
+                all_rows[1 + b], n_tri, ids_b, nstart, ndir)
             h_valid = h_valid & alive
             diffuse = h_valid & (h_mat > 0)
             km = diffuse[:, None]

@@ -127,7 +127,10 @@ def render_image(scene: Scene, cfg: RenderConfig,
     CPU / for cpu_ref mode)."""
     backend = _resolve_backend(backend, cfg)
     if backend == "pallas":
-        return _render_image_pallas(scene, cfg)
+        from .kernels.render_fwd import MAX_SMEM_TRIANGLES
+        if scene.tri_v0.shape[0] <= MAX_SMEM_TRIANGLES:
+            return _render_image_pallas(scene, cfg)
+        # scene too large for the SMEM-staged kernel: fall back to jnp
     return _render_image_jnp(scene, cfg, chunk_rows)
 
 
