@@ -94,6 +94,9 @@ def main() -> None:
     p.add_argument("--samples", type=int, default=10)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--backend", default="auto")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of one fwd+bwd step "
+                        "into DIR (view in TensorBoard/Perfetto)")
     args = p.parse_args()
 
     h = args.height or args.width
@@ -130,6 +133,11 @@ def main() -> None:
     dt_step = time_scalar_fn(loss_grad, scene, max(2, args.iters // 2))
     print(f"# fwd+bwd: {dt_step*1e3:.2f} ms/step = {rays/dt_step:.3e} rays/s",
           file=sys.stderr)
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            jax.block_until_ready(jax.jit(loss_grad)(scene))
+        print(f"# profiler trace written to {args.profile}", file=sys.stderr)
 
     value = rays / dt_step
     print(json.dumps({

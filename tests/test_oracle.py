@@ -48,3 +48,14 @@ def test_oracle_image_sane(scene):
     assert img.max() > 0.5 and img.min() >= 0.0
     # mirror sphere region shows reflected content; glass region nonblack
     assert img.mean() > 0.1
+
+
+def test_cpp_obj_loader_matches_python(tmp_path):
+    from uob_raytracer_tpu import load_obj
+    from uob_raytracer_tpu.reference.cpp_oracle import load_obj_cpp
+    p = tmp_path / "two.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 1\n"
+                 "f 1 2 3\nf 2 3 4\n")
+    v_py, _, _ = load_obj(str(p))
+    v_cpp = load_obj_cpp(str(p))
+    np.testing.assert_array_equal(v_py, v_cpp)

@@ -91,3 +91,15 @@ def test_scene_is_pytree(cornell):
     import jax
     leaves = jax.tree_util.tree_leaves(cornell)
     assert len(leaves) == 15
+
+
+def test_scene_checkpoint_roundtrip(tmp_path, cornell):
+    import numpy as np
+    from uob_raytracer_tpu.scene import save_scene, load_scene
+    p = str(tmp_path / "scene.npz")
+    save_scene(p, cornell)
+    back = load_scene(p)
+    import dataclasses
+    for f in dataclasses.fields(back):
+        np.testing.assert_array_equal(np.asarray(getattr(back, f.name)),
+                                      np.asarray(getattr(cornell, f.name)))

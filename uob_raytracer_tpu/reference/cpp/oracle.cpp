@@ -343,3 +343,49 @@ int oracle_render_cpu_ref(const float* tv0, const float* tv1, const float* tv2,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native OBJ loader — the C++ counterpart of Source/Loader.cpp:11-59:
+// parses `v`/`f` records, scales vertices by `scale`, then negates and
+// translates each face vertex. Returns the number of triangles written (or
+// the required count if out_verts is null), -1 on file error.
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+extern "C" int oracle_load_obj(const char* path, float scale, const float* translate,
+                               float* out_verts /* [n][3][3] or null */,
+                               int max_tris) {
+  std::FILE* f = std::fopen(path, "r");
+  if (!f) return -1;
+  std::vector<V3> verts;
+  int n_tris = 0;
+  char line[512];
+  V3 t = {translate[0], translate[1], translate[2]};
+  while (std::fgets(line, sizeof line, f)) {
+    if (line[0] == 'v' && (line[1] == ' ' || line[1] == '\t')) {
+      float x, y, z;
+      if (std::sscanf(line + 1, "%f %f %f", &x, &y, &z) == 3)
+        verts.push_back({scale * x, scale * y, scale * z});
+    } else if (line[0] == 'f' && (line[1] == ' ' || line[1] == '\t')) {
+      int a, b, c;
+      if (std::sscanf(line + 1, "%d %d %d", &a, &b, &c) == 3) {
+        if (out_verts && n_tris < max_tris) {
+          const int idx[3] = {a - 1, b - 1, c - 1};
+          for (int k = 0; k < 3; ++k) {
+            if (idx[k] < 0 || idx[k] >= (int)verts.size()) { std::fclose(f); return -2; }
+            V3 p = -verts[idx[k]] + t;   // Loader.cpp:50-52
+            out_verts[(n_tris * 3 + k) * 3 + 0] = p.x;
+            out_verts[(n_tris * 3 + k) * 3 + 1] = p.y;
+            out_verts[(n_tris * 3 + k) * 3 + 2] = p.z;
+          }
+        }
+        ++n_tris;
+      }
+    }
+  }
+  std::fclose(f);
+  return n_tris;
+}

@@ -78,3 +78,22 @@ def render_cpp_oracle(scene: Scene, cfg: RenderConfig) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"C++ oracle failed with code {rc}")
     return out
+
+
+def load_obj_cpp(path: str, scale: float = 1.5,
+                 translate=(-0.4, 1.15, -0.7)) -> np.ndarray:
+    """Native OBJ loader (C++, mirrors Source/Loader.cpp transforms).
+    Returns triangle vertices [T, 3, 3] float32."""
+    lib = _load()
+    t = _fp(np.asarray(translate, dtype=np.float32))
+    c_fp = ctypes.POINTER(ctypes.c_float)
+    n = lib.oracle_load_obj(path.encode(), ctypes.c_float(scale),
+                            t.ctypes.data_as(c_fp), None, 0)
+    if n < 0:
+        raise IOError(f"oracle_load_obj failed with code {n} for {path}")
+    out = np.zeros((n, 3, 3), dtype=np.float32)
+    got = lib.oracle_load_obj(path.encode(), ctypes.c_float(scale),
+                              t.ctypes.data_as(c_fp),
+                              out.ctypes.data_as(c_fp), n)
+    assert got == n
+    return out

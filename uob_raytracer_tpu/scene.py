@@ -250,3 +250,21 @@ def animate_light(light_x: float, lor: bool) -> tuple[float, bool]:
             lor = True
         light_x += diff / 20.0
     return light_x, lor
+
+
+def save_scene(path: str, scene: Scene) -> None:
+    """Checkpoint a scene (all parameters) to .npz — the framework's
+    persistence format. The reference had no checkpointing; its only
+    persisted artifact was screenshot.bmp on exit (skeleton.cpp:139)."""
+    import dataclasses as _dc
+    np.savez_compressed(path, **{
+        f.name: np.asarray(getattr(scene, f.name))
+        for f in _dc.fields(Scene)})
+
+
+def load_scene(path: str) -> Scene:
+    """Load a scene checkpoint written by save_scene."""
+    import dataclasses as _dc
+    with np.load(path) as z:
+        return Scene(**{f.name: jnp.asarray(z[f.name])
+                        for f in _dc.fields(Scene)})
