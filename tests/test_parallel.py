@@ -96,3 +96,10 @@ def test_train_step_reduces_loss(scene):
     assert losses[-1] < losses[0]
     # the light should have moved toward the target x=0.3
     assert float(s.light_pos[0]) > 0.02
+
+
+def test_multihost_single_process_noop(monkeypatch):
+    from uob_raytracer_tpu.parallel import initialize_multihost
+    monkeypatch.delenv("RAYTPU_COORDINATOR", raising=False)
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    assert initialize_multihost() is False

@@ -86,3 +86,22 @@ def test_custom_vjp_end_to_end(scene):
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
     assert np.abs(np.asarray(g.light_pos)).max() > 0
+
+
+def test_row_band_rendering_and_replay(scene):
+    """Row-band launches (the dp-sharded pallas path): band renders equal
+    the corresponding rows of the full frame, and the row-aware replay
+    reconstructs them."""
+    import jax.numpy as jnp
+    from uob_raytracer_tpu.kernels.render_fwd import render_fused_raw
+    cfg = RenderConfig(width=128, height=32, shadow_samples=4, bounces=3)
+    full, _ = render_fused_raw(scene, cfg, interpret=not ON_TPU)
+    for row0, rows in [(0, 16), (16, 16), (8, 24)]:
+        band, _ = render_fused_raw(scene, cfg, interpret=not ON_TPU,
+                                   row0=jnp.int32(row0), rows=rows)
+        np.testing.assert_array_equal(np.asarray(band),
+                                      np.asarray(full)[row0:row0 + rows])
+    band, _, res = render_fused_res(scene, cfg, interpret=not ON_TPU,
+                                    row0=jnp.int32(16), rows=16)
+    rep = replay_forward(scene, cfg, res, row0=jnp.int32(16), rows=16)
+    np.testing.assert_allclose(np.asarray(rep), np.asarray(band), atol=2e-5)

@@ -110,17 +110,41 @@ def cmd_fit(args):
     cfg = dataclasses.replace(cfg, width=min(cfg.width, 256),
                               height=min(cfg.height, 256))
     mesh = make_mesh(tp=1)
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
     target_scene = dataclasses.replace(
         scene, light_pos=jnp.array([0.35, -0.5, -0.7]))
-    target = render_image_sharded(target_scene, cfg, mesh)
+    target = render_image_sharded(target_scene, cfg, mesh, backend=backend)
     s = scene
     for i in range(args.steps):
         s, loss = train_step(s, target, cfg, mesh, lr=args.lr,
-                             trainable=("light_pos",))
+                             trainable=("light_pos",), backend=backend)
         if i % 5 == 0 or i == args.steps - 1:
             print(f"step {i:3d}  loss {float(loss):.6f}  "
                   f"light {np.asarray(s.light_pos).round(4)}")
     print(f"target light was {np.asarray(target_scene.light_pos).round(4)}")
+
+
+def cmd_sweep(args):
+    """Parameter-sweep driver: render a grid of light x positions (the axis
+    the reference's update loop animates) and report per-frame stats."""
+    import jax.numpy as jnp
+    from .ops.image import save_bmp
+    from .render import render
+
+    scene, cfg = _build(args)
+    outdir = args.out or "sweep"
+    os.makedirs(outdir, exist_ok=True)
+    xs = np.linspace(-0.5, 0.5, args.frames, dtype=np.float32)
+    for i, x in enumerate(xs):
+        s = dataclasses.replace(scene,
+                                light_pos=scene.light_pos.at[0].set(float(x)))
+        out = render(s, cfg, backend=args.backend)
+        img = np.asarray(out.image)
+        save_bmp(os.path.join(outdir, f"light_{i:03d}.bmp"),
+                 np.asarray(out.packed))
+        print(f"light_x={x:+.3f} mean={img.mean():.4f} max={img.max():.4f}")
 
 
 def cmd_configs(_args):
@@ -133,7 +157,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="uob_raytracer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in [("render", cmd_render), ("animate", cmd_animate),
-                     ("fit", cmd_fit), ("configs", cmd_configs)]:
+                     ("fit", cmd_fit), ("sweep", cmd_sweep),
+                     ("configs", cmd_configs)]:
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("--config", default="full_1024")
@@ -144,7 +169,7 @@ def main(argv=None):
         sp.add_argument("--yaw", type=float, default=0.0)
         sp.add_argument("--pitch", type=float, default=0.0)
         sp.add_argument("-o", "--out", default=None)
-        if name == "animate":
+        if name in ("animate", "sweep"):
             sp.add_argument("--frames", type=int, default=60)
         if name == "fit":
             sp.add_argument("--steps", type=int, default=30)

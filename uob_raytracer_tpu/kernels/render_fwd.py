@@ -323,7 +323,7 @@ def _nearest_hit(tri_ref, sph_ref, n_tri, n_sph, start, d):
     return t_b, (px, py, pz), (nx, ny, nz), (cr, cg, cb), mat, idf
 
 
-def _render_kernel(tri_ref, sph_ref, cam_ref, img_ref, packed_ref,
+def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, img_ref, packed_ref,
                    *res_refs, cfg: RenderConfig, n_tri: int, n_sph: int,
                    with_residuals: bool = False):
     if with_residuals:
@@ -341,7 +341,9 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, img_ref, packed_ref,
     ax, ay = cfg.aa_x, cfg.aa_y
     W, H = cfg.width, cfg.height
 
-    ys = (i * TILE_H
+    # off_ref[0]: global row offset of this launch (0 for a full frame;
+    # the dp-shard's first row when rendering a row band under shard_map)
+    ys = (off_ref[0] + i * TILE_H
           + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0))
     xs = (j * TILE_W
           + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1))
@@ -537,11 +539,11 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, img_ref, packed_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_tri", "n_sph",
-                                             "hp", "wp", "interpret",
+                                             "hp", "wp", "rows", "interpret",
                                              "with_residuals"))
-def _call_kernel(tri, sph, cam, cfg: RenderConfig, n_tri: int, n_sph: int,
-                 hp: int, wp: int, interpret: bool = False,
-                 with_residuals: bool = False):
+def _call_kernel(tri, sph, cam, off, cfg: RenderConfig, n_tri: int,
+                 n_sph: int, hp: int, wp: int, rows: int,
+                 interpret: bool = False, with_residuals: bool = False):
     """Launch over a (hp, wp) padded canvas; the kernel's math uses the
     *logical* cfg dimensions (ray centering, pixel-id RNG seeds), so padded
     lanes render harmless off-screen content that the caller crops."""
@@ -584,12 +586,13 @@ def _call_kernel(tri, sph, cam, cfg: RenderConfig, n_tri: int, n_sph: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(tri, sph, cam)
-    h, w = cfg.height, cfg.width
+    )(tri, sph, cam, off)
+    h, w = rows, cfg.width
     img, packed = outs[0][:, :h, :w], outs[1][:h, :w]
     if not with_residuals:
         return img, packed
@@ -605,21 +608,27 @@ def _round_up(x: int, m: int) -> int:
 
 
 def render_fused_raw(scene: Scene, cfg: RenderConfig,
-                     interpret: bool = False):
+                     interpret: bool = False, row0=None,
+                     rows: int | None = None):
     """Forward render via the fused Pallas kernel.
 
-    Returns (image [H, W, 3] float32, packed [H, W] uint32). Any image size:
-    the launch grid is padded up to the (8, 128) tile and cropped. Not
-    differentiable directly; render.py wires a custom_vjp whose backward is
-    the autodiff of the jnp path."""
+    Returns (image [rows, W, 3] float32, packed [rows, W] uint32). Any image
+    size: the launch grid is padded up to the (8, 128) tile and cropped.
+    row0/rows render only a row band of the logical cfg-sized image (ray
+    centering and pixel-id RNG stay global) — the dp-sharded launch path.
+    Not differentiable directly; render.py wires the path-replay
+    custom_vjp."""
     if cfg.cpu_ref:
         raise ValueError("pallas backend does not implement cpu_ref mode")
     _check_scene_fits(scene)
+    rows = cfg.height if rows is None else rows
+    off = (jnp.zeros((1,), jnp.int32) if row0 is None
+           else jnp.asarray(row0, jnp.int32).reshape(1))
     tri, sph, cam = pack_scene(scene)
     n_sph = scene.sph_center.shape[0]
     img, packed = _call_kernel(
-        tri, sph, cam, cfg, scene.tri_v0.shape[0], n_sph,
-        _round_up(cfg.height, TILE_H), _round_up(cfg.width, TILE_W),
+        tri, sph, cam, off, cfg, scene.tri_v0.shape[0], n_sph,
+        _round_up(rows, TILE_H), _round_up(cfg.width, TILE_W), rows,
         interpret)
     return jnp.transpose(img, (1, 2, 0)), packed
 
@@ -642,18 +651,22 @@ def _check_scene_fits(scene: Scene) -> None:
 
 
 def render_fused_res(scene: Scene, cfg: RenderConfig,
-                     interpret: bool = False):
+                     interpret: bool = False, row0=None,
+                     rows: int | None = None):
     """Forward render that also returns the decision residuals consumed by
     the path-replay backward: (image, packed, Residuals)."""
     from ..ops.replay import Residuals
     if cfg.cpu_ref:
         raise ValueError("pallas backend does not implement cpu_ref mode")
     _check_scene_fits(scene)
+    rows = cfg.height if rows is None else rows
+    off = (jnp.zeros((1,), jnp.int32) if row0 is None
+           else jnp.asarray(row0, jnp.int32).reshape(1))
     tri, sph, cam = pack_scene(scene)
     n_sph = scene.sph_center.shape[0]
     img, packed, pid, lit, bid = _call_kernel(
-        tri, sph, cam, cfg, scene.tri_v0.shape[0], n_sph,
-        _round_up(cfg.height, TILE_H), _round_up(cfg.width, TILE_W),
+        tri, sph, cam, off, cfg, scene.tri_v0.shape[0], n_sph,
+        _round_up(rows, TILE_H), _round_up(cfg.width, TILE_W), rows,
         interpret, with_residuals=True)
     return (jnp.transpose(img, (1, 2, 0)), packed,
             Residuals(prim_id=pid, lit_cnt=lit, bounce_id=bid))

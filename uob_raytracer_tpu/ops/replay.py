@@ -155,13 +155,21 @@ def _hit_from_row(row, n_tri: int, ids, start, d):
             jnp.where(vm, rgb, 0.0), jnp.where(valid, mat, _F(1.0)), valid)
 
 
-def replay_forward(scene: Scene, cfg: RenderConfig, res: Residuals):
-    """Radiance [H, W, 3] reconstructed from recorded decisions. Matches the
-    fused kernel's forward output on the smooth branch; its jax gradient is
-    the framework's pixel gradient."""
+def replay_forward(scene: Scene, cfg: RenderConfig, res: Residuals,
+                   row0=None, rows: int | None = None):
+    """Radiance [rows, W, 3] reconstructed from recorded decisions. Matches
+    the fused kernel's forward output on the smooth branch; its jax gradient
+    is the framework's pixel gradient. row0/rows replay only a row band of
+    the logical image (the dp-sharded path)."""
     A = cfg.aa_rays
     H, W = cfg.height, cfg.width
+    rows = H if rows is None else rows
     dirs, _ = gen_primary_rays(cfg, scene.yaw, scene.pitch)    # [H,W,A,3]
+    if rows != H or row0 is not None:
+        dirs = jax.lax.dynamic_slice_in_dim(
+            dirs, jnp.asarray(0 if row0 is None else row0, jnp.int32),
+            rows, axis=0)
+    H = rows
     d = jnp.transpose(dirs, (2, 0, 1, 3)).reshape(-1, 3)       # A-major [N,3]
     n = d.shape[0]
     start = jnp.broadcast_to(scene.camera_pos, (n, 3))

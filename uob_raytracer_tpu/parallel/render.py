@@ -36,7 +36,8 @@ def _scene_specs(scene: Scene, tp: bool) -> Scene:
 
 
 def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
-                         chunk_rows: int | None = None) -> jax.Array:
+                         chunk_rows: int | None = None,
+                         backend: str = "jnp") -> jax.Array:
     """Render the float image [H, W, 3] sharded over ``mesh``.
 
     Rows are split over 'dp'; if the mesh's 'tp' axis is larger than 1 the
@@ -44,6 +45,11 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     ``mesh.pad_triangles``) and nearest-hit/occlusion results are combined
     with ICI collectives. Differentiable: gradients of replicated scene
     leaves are psum'd automatically by the shard_map transpose.
+
+    backend='pallas' (tp == 1 only) runs the fused kernel per shard, each
+    shard rendering its row band (path-replay backward included) — the
+    production multi-chip path on TPU. backend='jnp' is the portable path
+    and the only one supporting triangle (tp) sharding.
     """
     tp = mesh.shape["tp"] > 1
     tri_axis = "tp" if tp else None
@@ -53,10 +59,29 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
         raise ValueError(f"height {H} not divisible by dp={n_dp}")
     if tp and scene.tri_v0.shape[0] % mesh.shape["tp"]:
         raise ValueError("triangle count not divisible by tp; use pad_triangles")
+    rows_per_shard = H // n_dp
+    if backend == "pallas":
+        if tp:
+            raise ValueError("pallas sharded backend does not support tp>1; "
+                             "use backend='jnp' for triangle sharding")
+        if rows_per_shard % 8:
+            raise ValueError(f"rows per shard ({rows_per_shard}) must be a "
+                             f"multiple of the 8-row kernel tile")
+        from ..render import render_image_pallas_rows
+
+        def body_pallas(scene_rep):
+            row0 = (jax.lax.axis_index("dp") * rows_per_shard).astype(
+                jnp.int32)
+            return render_image_pallas_rows(scene_rep, cfg, row0,
+                                            rows_per_shard)
+
+        fn = shard_map(body_pallas, mesh=mesh,
+                       in_specs=(_scene_specs(scene, False),),
+                       out_specs=P("dp"), check_vma=False)
+        return fn(scene)
 
     dirs, gid = gen_primary_rays(cfg, scene.yaw, scene.pitch)
     A = dirs.shape[2]
-    rows_per_shard = H // n_dp
 
     def body(scene_shard, dirs_s, gid_s):
         ds = prepare_scene(scene_shard)

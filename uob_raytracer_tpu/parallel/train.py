@@ -29,8 +29,8 @@ TRAINABLE = ("tri_v0", "tri_v1", "tri_v2", "tri_rgb", "light_pos",
 
 
 def image_loss(scene: Scene, target: jax.Array, cfg: RenderConfig,
-               mesh: Mesh) -> jax.Array:
-    img = render_image_sharded(scene, cfg, mesh)
+               mesh: Mesh, backend: str = "jnp") -> jax.Array:
+    img = render_image_sharded(scene, cfg, mesh, backend=backend)
     return jnp.mean(jnp.square(img - target))
 
 
@@ -40,12 +40,15 @@ class TrainOut(NamedTuple):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "mesh", "lr", "trainable"))
+                   static_argnames=("cfg", "mesh", "lr", "trainable",
+                                    "backend"))
 def train_step(scene: Scene, target: jax.Array, cfg: RenderConfig,
                mesh: Mesh, lr: float = 1e-2,
-               trainable: tuple[str, ...] = TRAINABLE) -> TrainOut:
+               trainable: tuple[str, ...] = TRAINABLE,
+               backend: str = "jnp") -> TrainOut:
     """One SGD step on the selected scene leaves."""
-    loss, grads = jax.value_and_grad(image_loss)(scene, target, cfg, mesh)
+    loss, grads = jax.value_and_grad(image_loss)(scene, target, cfg, mesh,
+                                                 backend)
 
     def update(path, p, g):
         name = path[0].name if hasattr(path[0], "name") else str(path[0])

@@ -109,6 +109,38 @@ def _pallas_bwd(cfg, saved, g):
 _render_image_pallas.defvjp(_pallas_fwd, _pallas_bwd)
 
 
+# Row-band variant for dp-sharded launches: each shard renders rows
+# [row0, row0+rows) of the logical image through the fused kernel, with the
+# same path-replay backward. row0 is a traced int32 scalar (a mesh
+# axis_index), which carries a symbolic-zero (float0) cotangent.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))
+def render_image_pallas_rows(scene: Scene, cfg: RenderConfig, row0,
+                             rows: int) -> jax.Array:
+    from .kernels import render_fused_raw
+    img, _ = render_fused_raw(scene, cfg, row0=row0, rows=rows)
+    return img
+
+
+def _pallas_rows_fwd(scene, cfg, row0, rows):
+    from .kernels.render_fwd import render_fused_res
+    img, _, res = render_fused_res(scene, cfg, row0=row0, rows=rows)
+    return img, (scene, row0, res)
+
+
+def _pallas_rows_bwd(cfg, rows, saved, g):
+    import numpy as np
+    from .ops.replay import replay_forward
+    scene, row0, res = saved
+    _, vjp = jax.vjp(
+        lambda s: replay_forward(s, cfg, res, row0=row0, rows=rows), scene)
+    (scene_bar,) = vjp(g)
+    return scene_bar, np.zeros((), dtype=jax.dtypes.float0)
+
+
+render_image_pallas_rows.defvjp(_pallas_rows_fwd, _pallas_rows_bwd)
+
+
 def _resolve_backend(backend: str, cfg: RenderConfig) -> str:
     if backend == "auto":
         if cfg.cpu_ref:
