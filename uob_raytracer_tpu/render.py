@@ -99,9 +99,24 @@ def _pallas_fwd(scene, cfg):
     return img, (scene, res)
 
 
+def _use_pallas_bwd() -> bool:
+    """Fused Pallas backward on TPU; the jnp replay VJP elsewhere (CPU tests,
+    fake-device meshes). Override with UOB_RT_BWD=jnp|pallas."""
+    import os
+    mode = os.environ.get("UOB_RT_BWD", "auto")
+    if mode == "jnp":
+        return False
+    if mode == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _pallas_bwd(cfg, saved, g):
-    from .ops.replay import replay_forward
     scene, res = saved
+    if _use_pallas_bwd():
+        from .kernels.render_bwd import render_replay_bwd
+        return (render_replay_bwd(scene, cfg, res, g),)
+    from .ops.replay import replay_forward
     _, vjp = jax.vjp(lambda s: replay_forward(s, cfg, res), scene)
     return vjp(g)
 
@@ -130,11 +145,17 @@ def _pallas_rows_fwd(scene, cfg, row0, rows):
 
 def _pallas_rows_bwd(cfg, rows, saved, g):
     import numpy as np
-    from .ops.replay import replay_forward
     scene, row0, res = saved
-    _, vjp = jax.vjp(
-        lambda s: replay_forward(s, cfg, res, row0=row0, rows=rows), scene)
-    (scene_bar,) = vjp(g)
+    if _use_pallas_bwd():
+        from .kernels.render_bwd import render_replay_bwd
+        scene_bar = render_replay_bwd(scene, cfg, res, g, row0=row0,
+                                      rows=rows)
+    else:
+        from .ops.replay import replay_forward
+        _, vjp = jax.vjp(
+            lambda s: replay_forward(s, cfg, res, row0=row0, rows=rows),
+            scene)
+        (scene_bar,) = vjp(g)
     return scene_bar, np.zeros((), dtype=jax.dtypes.float0)
 
 
