@@ -66,24 +66,41 @@ def time_scalar_fn(scalar_fn, scene, iters: int) -> float:
     iteration perturbs the scene by a value depending on the previous
     result, so XLA cannot hoist or deduplicate it — and the final scalar is
     fetched to the host, which forces completion even on backends whose
-    block_until_ready is optimistic (the axon TPU tunnel). This measures
-    true device throughput, free of per-dispatch overhead."""
+    block_until_ready is optimistic (the axon TPU tunnel).
+
+    The host fetch itself costs a large FIXED latency on tunneled backends
+    (~28 ms through axon, independent of the work inside the loop), so the
+    per-iteration time is estimated as the SLOPE between an N-iteration and
+    a 2N-iteration run: (T(2N) - T(N)) / N cancels every per-fetch constant
+    and measures pure device throughput. Both points are re-measured three
+    times and the minimum is used (scheduler noise is one-sided)."""
     import dataclasses
 
-    @jax.jit
-    def run(s):
-        def body(_, carry):
-            acc, s2 = carry
-            s3 = dataclasses.replace(
-                s2, light_pos=s2.light_pos + acc * 1e-12 + 1e-6)
-            return acc + scalar_fn(s3), s3
-        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0.0), s))
-        return acc
+    def make_run(n):
+        @jax.jit
+        def run(s):
+            def body(_, carry):
+                acc, s2 = carry
+                s3 = dataclasses.replace(
+                    s2, light_pos=s2.light_pos + acc * 1e-12 + 1e-6)
+                return acc + scalar_fn(s3), s3
+            acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), s))
+            return acc
+        return run
 
-    float(run(scene))  # compile + warm
-    t0 = time.perf_counter()
-    float(run(scene))
-    return (time.perf_counter() - t0) / iters
+    run1, run2 = make_run(iters), make_run(2 * iters)
+
+    def best(run):
+        float(run(scene))  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(scene))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, t2 = best(run1), best(run2)
+    return max(t2 - t1, 1e-9) / iters
 
 
 def main() -> None:
@@ -92,7 +109,7 @@ def main() -> None:
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--bounces", type=int, default=1)
     p.add_argument("--samples", type=int, default=10)
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--iters", type=int, default=30)
     p.add_argument("--backend", default="auto")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of one fwd+bwd step "
@@ -130,7 +147,7 @@ def main() -> None:
         return v + sum(jnp.sum(x) * 1e-12
                        for x in jax.tree_util.tree_leaves(g))
 
-    dt_step = time_scalar_fn(loss_grad, scene, max(2, args.iters // 2))
+    dt_step = time_scalar_fn(loss_grad, scene, max(5, args.iters // 2))
     print(f"# fwd+bwd: {dt_step*1e3:.2f} ms/step = {rays/dt_step:.3e} rays/s",
           file=sys.stderr)
 

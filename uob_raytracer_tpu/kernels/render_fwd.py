@@ -242,6 +242,95 @@ def _lit_count(tri_ref, sph_ref, n_tri, n_sph, start, sdir, state, radius_sq,
     return lit
 
 
+def _nearest_hit_primary(tri_ref, sph_ref, n_tri, n_sph, cam, d):
+    """Nearest hit for the primary bundle, exploiting the uniform ray origin
+    (every AA ray starts at the camera, ``kernels.cl:388-396``).
+
+    With a shared origin the Möller–Trumbore system's b-vector, t-numerator
+    and the two cross-product columns are per-triangle *scalars* — they hoist
+    onto the scalar unit, and the vector loop per triangle shrinks to three
+    3-dots, one divide and the accept test, carrying only (t_best, id). The
+    winning object's shading attributes are reconstructed once after the
+    scan (hit position as start + t*d — same point as the u/v form up to
+    rounding). ~3x fewer VPU ops than the general scan."""
+    shape = d[0].shape
+    inf = jnp.full(shape, _BIG)
+    t_b = inf
+    idf = jnp.full(shape, _F(-1.0))
+
+    def tri_body(i, carry):
+        t_b, idf = carry
+        v0 = _tri_vec(tri_ref, i, 0)
+        e1 = _tri_vec(tri_ref, i, 3)
+        e2 = _tri_vec(tri_ref, i, 6)
+        E = _tri_vec(tri_ref, i, 16)          # cross(e1, e2), precomputed
+        # scalar per-triangle invariants (shared ray origin)
+        b = (cam[0] - v0[0], cam[1] - v0[1], cam[2] - v0[2])
+        t_num = b[0] * E[0] + b[1] * E[1] + b[2] * E[2]
+        B2 = _cross(b, e2)
+        B1 = _cross(e1, b)
+        dA = -_dot(d, E)
+        degen = dA == 0
+        rA = _F(1.0) / jnp.where(degen, _F(1.0), dA)
+        t = t_num * rA
+        u = -_dot(d, B2) * rA
+        v = -_dot(d, B1) * rA
+        ok = ((t >= 0) & (u >= 0) & (v >= 0) & ((u + v) <= 1)
+              & ~degen & (t < t_b))
+        return (jnp.where(ok, t, t_b),
+                jnp.where(ok, i.astype(_F), idf))
+
+    t_b, idf = jax.lax.fori_loop(0, n_tri, tri_body, (t_b, idf))
+
+    for i in range(n_sph):
+        c = (sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2])
+        r2 = sph_ref[i, 3]
+        L = (cam[0] - c[0], cam[1] - c[1], cam[2] - c[2])
+        a_q = _dot(d, d)
+        b_q = _F(2.0) * (d[0] * L[0] + d[1] * L[1] + d[2] * L[2])
+        c_q = L[0] * L[0] + L[1] * L[1] + L[2] * L[2] - r2
+        disc = b_q * b_q - _F(4.0) * a_q * c_q
+        no_sol = disc < 0
+        sq = jnp.sqrt(jnp.where(no_sol, _F(1.0), disc))
+        q = jnp.where(b_q > 0, _F(-0.5) * (b_q + sq), _F(-0.5) * (b_q - sq))
+        qz = q == 0
+        x0 = q / jnp.where(a_q == 0, _F(1.0), a_q)
+        x1 = jnp.where(qz, x0, c_q / jnp.where(qz, _F(1.0), q))
+        xmin = jnp.minimum(x0, x1)
+        xmax = jnp.maximum(x0, x1)
+        cand = jnp.where(xmin >= 0, xmin, xmax)
+        ok = ~no_sol & (cand >= 0) & (cand < t_b)
+        t_b = jnp.where(ok, cand, t_b)
+        idf = jnp.where(ok, _F(n_tri + i), idf)
+
+    # --- winner reconstruction: one gather over the scene ---
+    hit = t_b < _BIG
+    t_s = jnp.where(hit, t_b, _F(0.0))
+    start = tuple(jnp.broadcast_to(jnp.reshape(c, (1, 1, 1)), shape)
+                  for c in cam)
+    pos = _add(start, _scale(t_s, d))
+    zero = jnp.zeros(shape)
+    pos = _where3(hit, pos, (zero, zero, zero))
+    nrm = (zero, zero, zero)
+    rgb = (zero, zero, zero)
+    mat = jnp.ones(shape)
+    for i in range(n_tri):
+        m = idf == _F(i)
+        nrm = _where3(m, (tri_ref[i, 9], tri_ref[i, 10], tri_ref[i, 11]),
+                      nrm)
+        rgb = _where3(m, (tri_ref[i, 12], tri_ref[i, 13], tri_ref[i, 14]),
+                      rgb)
+        mat = jnp.where(m, tri_ref[i, 15], mat)
+    for i in range(n_sph):
+        m = idf == _F(n_tri + i)
+        pc = _sub(pos, (sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2]))
+        pclen = jnp.sqrt(jnp.maximum(_dot(pc, pc), _F(1e-30)))
+        nrm = _where3(m, _scale(_F(1.0) / pclen, pc), nrm)
+        rgb = _where3(m, (sph_ref[i, 4], sph_ref[i, 5], sph_ref[i, 6]), rgb)
+        mat = jnp.where(m, sph_ref[i, 7], mat)
+    return t_b, pos, nrm, rgb, mat, idf
+
+
 def _nearest_hit(tri_ref, sph_ref, n_tri, n_sph, start, d):
     """Brute-force nearest hit for the ray bundle (start, d). Returns
     (t, pos, normal, rgb, mat, id_f) as select-accumulated tile arrays — the
@@ -372,11 +461,10 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, img_ref, packed_ref,
     d = (_dot(r0, b), _dot(r1, b), _dot(r2, b))
     dlen = jnp.sqrt(_dot(d, d))   # divide (not recip-multiply): parity with
     d = (d[0] / dlen, d[1] / dlen, d[2] / dlen)  # the oracle's normalize
-    start = tuple(jnp.full((A, TILE_H, TILE_W), c) for c in cam)
 
-    # --- primary intersection ---
-    t_b, pos, normal, rgb, mat, prim_idf = _nearest_hit(
-        tri_ref, sph_ref, n_tri, n_sph, start, d)
+    # --- primary intersection (shared-origin fast path) ---
+    t_b, pos, normal, rgb, mat, prim_idf = _nearest_hit_primary(
+        tri_ref, sph_ref, n_tri, n_sph, cam, d)
     hit = t_b < _BIG
     prim_diffuse = hit & (mat > 0)
     if with_residuals:
