@@ -1,0 +1,187 @@
+"""Property-based tests (hypothesis) — SURVEY.md §4: invariants of the
+geometric core for arbitrary inputs, not just the golden scene.
+
+Shapes are held constant per property so every example reuses one jitted
+XLA program (hypothesis drives the data, not the trace)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from hypothesis import given, settings, strategies as st
+from hypothesis.extra.numpy import arrays
+
+from uob_raytracer_tpu import RenderConfig
+from uob_raytracer_tpu.ops import intersect, prepare_scene, xorshift
+from uob_raytracer_tpu.ops.intersect import _sphere_roots, _tri_tuv
+from uob_raytracer_tpu.ops.shading import _reflect_dir, _refract_dir
+from uob_raytracer_tpu.reference import oracle as orc
+from uob_raytracer_tpu.scene import Scene
+
+_SETTINGS = dict(max_examples=25, deadline=None)
+
+finite = st.floats(-2.0, 2.0, allow_nan=False, width=32)
+vec3 = arrays(np.float32, (8, 3), elements=finite)
+unit_dir = arrays(np.float32, (8, 3),
+                  elements=st.floats(-1.0, 1.0, allow_nan=False, width=32))
+
+
+def _norm(v, eps=1e-3):
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    return v / np.maximum(n, eps), (n[..., 0] > eps)
+
+
+def _mini_scene(v0, v1, v2):
+    """8-triangle, no-sphere scene pytree from raw vertex arrays."""
+    z3 = jnp.zeros((0, 3), jnp.float32)
+    z1 = jnp.zeros((0,), jnp.float32)
+    return Scene(
+        tri_v0=jnp.asarray(v0), tri_v1=jnp.asarray(v1), tri_v2=jnp.asarray(v2),
+        tri_rgb=jnp.full((8, 3), 0.5), tri_mat=jnp.ones((8,)),
+        sph_center=z3, sph_r2=z1, sph_rgb=z3, sph_mat=z1,
+        light_pos=jnp.zeros(3), light_color=jnp.full((3,), 16.0),
+        indirect_light=jnp.full((3,), 0.5),
+        camera_pos=jnp.zeros(3), yaw=jnp.float32(0), pitch=jnp.float32(0))
+
+
+# ------------------------------------------------------------- intersection
+
+@settings(**_SETTINGS)
+@given(v0=vec3, v1=vec3, v2=vec3, start=vec3, d=unit_dir)
+def test_triangle_tuv_reconstructs_hit_point(v0, v1, v2, start, d):
+    """Accepted (t,u,v) must satisfy the reference accept test
+    (kernels.cl:120) AND reconstruct the same point two ways:
+    v0 + u*e1 + v*e2 == start + t*d."""
+    ds = prepare_scene(_mini_scene(v0, v1, v2))
+    t, u, v, degen = jax.jit(_tri_tuv)(ds, jnp.asarray(start), jnp.asarray(d))
+    t, u, v = np.asarray(t), np.asarray(u), np.asarray(v)
+    acc = ((t >= 0) & (u >= 0) & (v >= 0) & (u + v <= 1)
+           & ~np.asarray(degen) & np.isfinite(t) & (np.abs(t) < 1e3))
+    if not acc.any():
+        return
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p_bary = (v0[None] + u[..., None] * e1[None] + v[..., None] * e2[None])
+    p_ray = start[:, None] + t[..., None] * d[:, None]
+    np.testing.assert_allclose(p_bary[acc], p_ray[acc], rtol=2e-2, atol=2e-3)
+
+
+@settings(**_SETTINGS)
+@given(c=vec3, start=vec3,
+       r2=arrays(np.float32, (8,),
+                 elements=st.floats(1e-3, 1.0, allow_nan=False, width=32)))
+def test_sphere_roots_lie_on_sphere(c, start, r2):
+    """Every finite root x of the stable quadratic (kernels.cl:140-143)
+    satisfies |start + x*d - c|^2 == r^2."""
+    d, ok = _norm(c - start)  # aim each ray at its sphere: guaranteed hits
+    if not ok.all():
+        return
+    sc = _mini_scene(np.zeros((8, 3), np.float32),
+                     np.zeros((8, 3), np.float32),
+                     np.zeros((8, 3), np.float32))
+    import dataclasses
+    sc = dataclasses.replace(
+        sc, sph_center=jnp.asarray(c), sph_r2=jnp.asarray(r2),
+        sph_rgb=jnp.full((8, 3), 0.5), sph_mat=jnp.ones((8,)))
+    ds = prepare_scene(sc)
+    xmin, xmax, no_sol = jax.jit(_sphere_roots)(
+        ds, jnp.asarray(start), jnp.asarray(d))
+    xmin, xmax, no_sol = (np.asarray(xmin), np.asarray(xmax),
+                          np.asarray(no_sol))
+    ar = np.arange(8)
+    for roots in (xmin, xmax):
+        x = roots[ar, ar]          # ray i against its own sphere i
+        m = ~no_sol[ar, ar] & np.isfinite(x) & (np.abs(x) < 1e3)
+        if not m.any():
+            continue
+        p = start[m] + x[m, None] * d[m]
+        np.testing.assert_allclose(
+            np.sum((p - c[m]) ** 2, axis=-1), r2[m], rtol=5e-2, atol=5e-3)
+
+
+@settings(**_SETTINGS)
+@given(v0=vec3, v1=vec3, v2=vec3, d=unit_dir)
+def test_intersect_matches_numpy_oracle(v0, v1, v2, d):
+    """jnp nearest-hit == the NumPy oracle's nearest-hit on random scenes
+    (away from ties at f32 resolution)."""
+    dn, ok = _norm(d)
+    if not ok.all():
+        return
+    sc = _mini_scene(v0, v1, v2)
+    ds = prepare_scene(sc)
+    start = np.tile(np.float32([0, 0, -3.2]), (8, 1))
+    h = jax.jit(intersect)(ds, jnp.asarray(start), jnp.asarray(dn))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ho = orc._intersect(orc._to_np_scene(sc), start, dn)
+    t_o = ho["t"]
+    t_j = np.asarray(h.t)
+    hit_j = np.asarray(h.hit)
+    hit_o = ho["hit"]
+    # skip examples where a marginal accept sits within float noise
+    stable = np.abs(np.nan_to_num(t_j, posinf=0) -
+                    np.nan_to_num(t_o, posinf=0)) < 1e-2
+    agree = hit_j == hit_o
+    assert (agree | ~stable).all() or (np.mean(agree) >= 0.99)
+    m = hit_j & hit_o & stable
+    if m.any():
+        np.testing.assert_allclose(t_j[m], t_o[m], rtol=1e-3, atol=1e-4)
+
+
+# ------------------------------------------------------------------ optics
+
+@settings(**_SETTINGS)
+@given(d=unit_dir, n=unit_dir)
+def test_reflect_involution_and_angle(d, n):
+    dn, okd = _norm(d)
+    nn, okn = _norm(n)
+    if not (okd.all() and okn.all()):
+        return
+    r = np.asarray(jax.jit(_reflect_dir)(jnp.asarray(dn), jnp.asarray(nn)))
+    # |r| == |d| and the normal component flips
+    np.testing.assert_allclose(np.linalg.norm(r, axis=-1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.sum(r * nn, -1), -np.sum(dn * nn, -1),
+                               atol=1e-4)
+    # reflecting twice returns the original direction
+    rr = np.asarray(jax.jit(_reflect_dir)(jnp.asarray(r), jnp.asarray(nn)))
+    np.testing.assert_allclose(rr, dn, atol=1e-4)
+
+
+@settings(**_SETTINGS)
+@given(d=unit_dir, n=unit_dir)
+def test_refract_snell_law(d, n):
+    """n1 sin(theta1) == n2 sin(theta2) for non-TIR lanes (kernels.cl:67-88,
+    air -> glass entry)."""
+    dn, okd = _norm(d)
+    nn, okn = _norm(n)
+    if not (okd.all() and okn.all()):
+        return
+    cfg = RenderConfig(width=8, height=8)
+    medium = jnp.full((8,), cfg.ior_air)
+    out, _, tir, _, _, _ = jax.jit(_refract_dir, static_argnums=0)(
+        cfg, jnp.asarray(dn), jnp.asarray(nn), medium)
+    out, tir = np.asarray(out), np.asarray(tir)
+    m = ~tir
+    if not m.any():
+        return
+    t = out[m] / np.maximum(np.linalg.norm(out[m], axis=-1, keepdims=True),
+                            1e-6)
+    sin1 = np.sqrt(np.clip(1 - np.sum(dn[m] * nn[m], -1) ** 2, 0, 1))
+    sin2 = np.sqrt(np.clip(1 - np.sum(t * nn[m], -1) ** 2, 0, 1))
+    np.testing.assert_allclose(cfg.ior_air * sin1, cfg.ior_glass * sin2,
+                               atol=2e-3)
+
+
+# --------------------------------------------------------------------- RNG
+
+@settings(**_SETTINGS)
+@given(seeds=arrays(np.uint32, (16, 3),
+                    elements=st.integers(1, 2**32 - 1)))
+def test_xorshift_parity_and_nonzero(seeds):
+    """The jnp xorshift matches the oracle's for arbitrary nonzero seeds and
+    never maps a nonzero lane to zero (xorshift13/17/5 is a bijection on
+    nonzero u32)."""
+    s_j = jnp.asarray(seeds)
+    s_n = seeds.copy()
+    for _ in range(8):
+        s_j = xorshift(s_j)
+        s_n = orc._xorshift(s_n)
+        np.testing.assert_array_equal(np.asarray(s_j), s_n)
+        assert (s_n != 0).all()

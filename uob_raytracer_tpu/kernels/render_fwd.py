@@ -46,12 +46,17 @@ _UINT_MAX_F = np.float32(4294967295.0)  # == 2^32 in f32, as in the OpenCL
 # Scene packing: SoA pytree -> flat SMEM tables (traced, differentiable)
 # --------------------------------------------------------------------------
 
-def pack_scene(scene: Scene):
-    """Flatten the scene into (tri [T,16], sph [S',12], cam [24]) float32
-    tables for SMEM. tri row: v0, e1, e2, n(unit), rgb, mat.
+def pack_scene(scene: Scene, pad_rows_to: int = 1):
+    """Flatten the scene into (tri [T,19], sph [S',12], cam [24]) float32
+    tables for SMEM. tri row: v0, e1, e2, n(unit), rgb, mat, E=cross(e1,e2).
     sph row: c, r2, rgb, mat, pad. cam: rot rows r0 r1 r2, camera, light,
     light_color, indirect. Built inside the traced graph so gradients flow
-    back to every Scene leaf."""
+    back to every Scene leaf.
+
+    pad_rows_to: pad the triangle table with all-zero rows to a multiple of
+    this (the streamed kernel's DMA block). Zero rows have E = 0, so their
+    detA is exactly 0 and every accept test rejects them — the pad is inert
+    in all three scan sites."""
     v0 = scene.tri_v0
     e1 = scene.tri_v1 - v0
     e2 = scene.tri_v2 - v0
@@ -61,6 +66,9 @@ def pack_scene(scene: Scene):
     tri = jnp.concatenate(
         [v0, e1, e2, n, scene.tri_rgb, scene.tri_mat[:, None],
          jnp.cross(e1, e2)], axis=1)
+    if pad_rows_to > 1 and tri.shape[0] % pad_rows_to:
+        pad = pad_rows_to - tri.shape[0] % pad_rows_to
+        tri = jnp.concatenate([tri, jnp.zeros((pad, tri.shape[1]), _F)])
 
     if scene.sph_center.shape[0]:
         sph = jnp.concatenate([
@@ -156,7 +164,65 @@ def _cross(a, b):
             a[0] * b[1] - a[1] * b[0])
 
 
-def _lit_count(tri_ref, sph_ref, n_tri, n_sph, start, sdir, state, radius_sq,
+def _smem_tri_scan(tri_ref, n_tri: int):
+    """Triangle-scan strategy for the whole-table-in-SMEM kernel: one
+    fori_loop whose body reads triangle columns straight out of SMEM. The
+    body receives (get, gi, carry): get(col) -> scalar of the current
+    triangle, gi = global triangle index as f32."""
+    def scan(body, carry):
+        def wrap(i, c):
+            return body(lambda col: tri_ref[i, col], i.astype(_F), c)
+        return jax.lax.fori_loop(0, n_tri, wrap, carry)
+    return scan
+
+
+# Streamed-kernel DMA block: rows per SMEM-resident triangle block. The
+# table is padded to STREAM_COLS columns so HBM row slices are lane-tile
+# aligned (Mosaic requires minor-dim slices in multiples of 128); the double
+# buffer costs 2 * STREAM_BLK * STREAM_COLS * 4 B of SMEM (64 KiB at 64).
+STREAM_BLK = 64
+STREAM_COLS = 128
+
+
+def _streamed_tri_scan(tri_any, buf, sems, n_rows: int):
+    """Triangle-scan strategy for the streamed kernel (large scenes).
+
+    The packed triangle table (padded to a STREAM_BLK multiple; pad rows are
+    inert, see pack_scene) stays out of SMEM; blocks of STREAM_BLK rows are
+    double-buffered into SMEM scratch with async DMA so the copy of block
+    k+1 overlaps the scan of block k. This removes the SMEM capacity cap on
+    scene size — the TPU analogue of tiling the reference's
+    async_work_group_copy staging (kernels.cl:374-376) over a table larger
+    than local memory."""
+    n_blocks = n_rows // STREAM_BLK
+
+    def scan(body, carry):
+        def copy(k, slot):
+            return pltpu.make_async_copy(
+                tri_any.at[pl.ds(k * STREAM_BLK, STREAM_BLK)],
+                buf.at[slot], sems.at[slot])
+
+        copy(0, 0).start()
+
+        def outer(k, carry):
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < n_blocks)
+            def _():
+                copy(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+            copy(k, slot).wait()
+
+            def inner(i, c):
+                return body(lambda col: buf[slot, i, col],
+                            (k * STREAM_BLK + i).astype(_F), c)
+            return jax.lax.fori_loop(0, STREAM_BLK, inner, carry)
+
+        return jax.lax.fori_loop(0, n_blocks, outer, carry)
+    return scan
+
+
+def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
                cfg: RenderConfig):
     """Unoccluded-sample count for the soft-shadow pass — the hot loop.
 
@@ -182,17 +248,17 @@ def _lit_count(tri_ref, sph_ref, n_tri, n_sph, start, sdir, state, radius_sq,
         dirs.append(ds)
         dds.append(_dot(ds, ds))
 
-    def tri_body(i, occs):
-        v0 = _tri_vec(tri_ref, i, 0)
-        e1 = _tri_vec(tri_ref, i, 3)
-        e2 = _tri_vec(tri_ref, i, 6)
-        E = _tri_vec(tri_ref, i, 16)          # cross(e1, e2), precomputed
+    def tri_body(get, gi, occs):
+        v0 = (get(0), get(1), get(2))
+        e1 = (get(3), get(4), get(5))
+        e2 = (get(6), get(7), get(8))
+        E = (get(16), get(17), get(18))       # cross(e1, e2), precomputed
         b = _sub(start, v0)
         t_num = _dot(b, E)
         t_num2 = t_num * t_num
         B2 = _cross(b, e2)
         B1 = _cross(e1, b)
-        not_glass = tri_ref[i, 15] != _F(-1.0)
+        not_glass = get(15) != _F(-1.0)
         new = []
         for s in range(S):
             dA = -_dot(dirs[s], E)
@@ -208,8 +274,7 @@ def _lit_count(tri_ref, sph_ref, n_tri, n_sph, start, sdir, state, radius_sq,
                                    jnp.where(hit, _F(1.0), _F(0.0))))
         return tuple(new)
 
-    occs = jax.lax.fori_loop(0, n_tri, tri_body,
-                             tuple(jnp.zeros(shape) for _ in range(S)))
+    occs = tri_scan(tri_body, tuple(jnp.zeros(shape) for _ in range(S)))
     occs = list(occs)
 
     for i in range(n_sph):
@@ -331,22 +396,24 @@ def _nearest_hit_primary(tri_ref, sph_ref, n_tri, n_sph, cam, d):
     return t_b, pos, nrm, rgb, mat, idf
 
 
-def _nearest_hit(tri_ref, sph_ref, n_tri, n_sph, start, d):
+def _nearest_hit(tri_scan, sph_ref, n_tri, n_sph, start, d):
     """Brute-force nearest hit for the ray bundle (start, d). Returns
     (t, pos, normal, rgb, mat, id_f) as select-accumulated tile arrays — the
     TPU-native form of the reference's running-best scan
     (kernels.cl:92-166): no argmin gather, just masked selects. id_f is the
     hit object id as f32 (exact for id < 2^24): -1 miss, i for triangle i,
-    n_tri + s for sphere s — the residual the path-replay backward keys on."""
+    n_tri + s for sphere s — the residual the path-replay backward keys on.
+    n_tri is the LOGICAL triangle count (sphere id base); the scan strategy
+    owns the loop bound (which may cover inert pad rows)."""
     shape = d[0].shape
     inf = jnp.full(shape, _BIG)
     zero = jnp.zeros(shape)
 
-    def tri_body(i, carry):
+    def tri_body(get, gi, carry):
         t_b, px, py, pz, nx, ny, nz, cr, cg, cb, mat, idf = carry
-        v0 = _tri_vec(tri_ref, i, 0)
-        e1 = _tri_vec(tri_ref, i, 3)
-        e2 = _tri_vec(tri_ref, i, 6)
+        v0 = (get(0), get(1), get(2))
+        e1 = (get(3), get(4), get(5))
+        e2 = (get(6), get(7), get(8))
         b = _sub(start, v0)
         nd = (-d[0], -d[1], -d[2])
         detA = _det3(nd, e1, e2)
@@ -358,21 +425,21 @@ def _nearest_hit(tri_ref, sph_ref, n_tri, n_sph, start, d):
         ok = ((t >= 0) & (u >= 0) & (v >= 0) & ((u + v) <= 1)
               & ~degen & (t < t_b))
         pos = _add(v0, _add(_scale(u, e1), _scale(v, e2)))
-        nrm = _tri_vec(tri_ref, i, 9)
+        nrm = (get(9), get(10), get(11))
         return (jnp.where(ok, t, t_b),
                 jnp.where(ok, pos[0], px), jnp.where(ok, pos[1], py),
                 jnp.where(ok, pos[2], pz),
                 jnp.where(ok, nrm[0], nx), jnp.where(ok, nrm[1], ny),
                 jnp.where(ok, nrm[2], nz),
-                jnp.where(ok, tri_ref[i, 12], cr),
-                jnp.where(ok, tri_ref[i, 13], cg),
-                jnp.where(ok, tri_ref[i, 14], cb),
-                jnp.where(ok, tri_ref[i, 15], mat),
-                jnp.where(ok, i.astype(_F), idf))
+                jnp.where(ok, get(12), cr),
+                jnp.where(ok, get(13), cg),
+                jnp.where(ok, get(14), cb),
+                jnp.where(ok, get(15), mat),
+                jnp.where(ok, gi, idf))
 
     carry = (inf, zero, zero, zero, zero, zero, zero, zero, zero, zero,
              jnp.ones(shape), jnp.full(shape, _F(-1.0)))
-    carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+    carry = tri_scan(tri_body, carry)
     t_b, px, py, pz, nx, ny, nz, cr, cg, cb, mat, idf = carry
 
     for i in range(n_sph):
@@ -414,7 +481,13 @@ def _nearest_hit(tri_ref, sph_ref, n_tri, n_sph, start, d):
 
 def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, img_ref, packed_ref,
                    *res_refs, cfg: RenderConfig, n_tri: int, n_sph: int,
+                   n_rows: int, streamed: bool = False,
                    with_residuals: bool = False):
+    if streamed:
+        *res_refs, tri_buf, tri_sems = res_refs
+        tri_scan = _streamed_tri_scan(tri_ref, tri_buf, tri_sems, n_rows)
+    else:
+        tri_scan = _smem_tri_scan(tri_ref, n_rows)
     if with_residuals:
         # pid: primary hit object id; lit: unoccluded shadow-sample count;
         # bid: per-bounce hit object id — the decision record consumed by
@@ -462,9 +535,17 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, img_ref, packed_ref,
     dlen = jnp.sqrt(_dot(d, d))   # divide (not recip-multiply): parity with
     d = (d[0] / dlen, d[1] / dlen, d[2] / dlen)  # the oracle's normalize
 
-    # --- primary intersection (shared-origin fast path) ---
-    t_b, pos, normal, rgb, mat, prim_idf = _nearest_hit_primary(
-        tri_ref, sph_ref, n_tri, n_sph, cam, d)
+    # --- primary intersection ---
+    if streamed:
+        cam_b = tuple(jnp.broadcast_to(jnp.reshape(c, (1, 1, 1)), d[0].shape)
+                      for c in cam)
+        t_b, pos, normal, rgb, mat, prim_idf = _nearest_hit(
+            tri_scan, sph_ref, n_tri, n_sph, cam_b, d)
+    else:
+        # shared-origin fast path (per-triangle invariants on the scalar
+        # unit) — needs the whole table addressable, so SMEM kernel only
+        t_b, pos, normal, rgb, mat, prim_idf = _nearest_hit_primary(
+            tri_ref, sph_ref, n_tri, n_sph, cam, d)
     hit = t_b < _BIG
     prim_diffuse = hit & (mat > 0)
     if with_residuals:
@@ -521,7 +602,7 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, img_ref, packed_ref,
                 weight = jnp.where(alive, weight * w_step, weight)
 
             t_n, pos_n, nrm_n, rgb_n, mat_n, idf_n = _nearest_hit(
-                tri_ref, sph_ref, n_tri, n_sph, nstart, ndir)
+                tri_scan, sph_ref, n_tri, n_sph, nstart, ndir)
             hit_n = t_n < _BIG
             diffuse = alive & hit_n & (mat_n > 0)
             cont = alive & hit_n & (mat_n <= 0)
@@ -592,7 +673,7 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, img_ref, packed_ref,
     state = _xorshift3((gid,
                         _f32_to_u32(gf * _F(91.0)),
                         _f32_to_u32(gf * _F(19.0))))
-    lit_count = _lit_count(tri_ref, sph_ref, n_tri, n_sph, sstart, sdir,
+    lit_count = _lit_count(tri_scan, sph_ref, n_sph, sstart, sdir,
                            state, radius_sq, cfg)
     if with_residuals:
         lit_ref[...] = lit_count
@@ -628,17 +709,20 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, img_ref, packed_ref,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_tri", "n_sph",
                                              "hp", "wp", "rows", "interpret",
-                                             "with_residuals"))
+                                             "with_residuals", "streamed"))
 def _call_kernel(tri, sph, cam, off, cfg: RenderConfig, n_tri: int,
                  n_sph: int, hp: int, wp: int, rows: int,
-                 interpret: bool = False, with_residuals: bool = False):
+                 interpret: bool = False, with_residuals: bool = False,
+                 streamed: bool = False):
     """Launch over a (hp, wp) padded canvas; the kernel's math uses the
     *logical* cfg dimensions (ray centering, pixel-id RNG seeds), so padded
     lanes render harmless off-screen content that the caller crops."""
     grid = (hp // TILE_H, wp // TILE_W)
     A = cfg.aa_rays
     kernel = functools.partial(_render_kernel, cfg=cfg, n_tri=n_tri,
-                               n_sph=n_sph, with_residuals=with_residuals)
+                               n_sph=n_sph, n_rows=tri.shape[0],
+                               streamed=streamed,
+                               with_residuals=with_residuals)
     out_specs = [
         pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
                      memory_space=pltpu.VMEM),
@@ -671,13 +755,20 @@ def _call_kernel(tri, sph, cam, off, cfg: RenderConfig, n_tri: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # streamed: the triangle table stays in HBM (ANY would let the
+            # compiler park it in VMEM, whose (1,128) lane tiling cannot be
+            # row-sliced at 19 columns); DMA'd into SMEM scratch in blocks
+            pl.BlockSpec(memory_space=pltpu.HBM) if streamed
+            else pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=(
+            [pltpu.SMEM((2, STREAM_BLK, STREAM_COLS), jnp.float32),
+             pltpu.SemaphoreType.DMA((2,))] if streamed else []),
         interpret=interpret,
     )(tri, sph, cam, off)
     h, w = rows, cfg.width
@@ -708,34 +799,32 @@ def render_fused_raw(scene: Scene, cfg: RenderConfig,
     custom_vjp."""
     if cfg.cpu_ref:
         raise ValueError("pallas backend does not implement cpu_ref mode")
-    _check_scene_fits(scene)
     rows = cfg.height if rows is None else rows
     off = (jnp.zeros((1,), jnp.int32) if row0 is None
            else jnp.asarray(row0, jnp.int32).reshape(1))
-    tri, sph, cam = pack_scene(scene)
+    streamed = _use_streamed(scene)
+    tri, sph, cam = pack_scene(scene,
+                               pad_rows_to=STREAM_BLK if streamed else 1)
+    if streamed:  # lane-tile-aligned rows for the HBM block DMA
+        tri = jnp.pad(tri, ((0, 0), (0, STREAM_COLS - tri.shape[1])))
     n_sph = scene.sph_center.shape[0]
     img, packed = _call_kernel(
         tri, sph, cam, off, cfg, scene.tri_v0.shape[0], n_sph,
         _round_up(rows, TILE_H), _round_up(cfg.width, TILE_W), rows,
-        interpret)
+        interpret, streamed=streamed)
     return jnp.transpose(img, (1, 2, 0)), packed
 
 
-# The scene tables live in SMEM (the register-adjacent scalar memory); its
-# budget caps the brute-force scene size for this kernel. Larger scenes
-# (big OBJ meshes) use the jnp pipeline, or the triangle-sharded ('tp')
-# mesh path which splits the table across chips. A VMEM-staged
-# triangle-blocked kernel variant is the planned lift for O(10^4) triangles.
+# Whole-table SMEM staging is the fast path for small scenes (the Cornell
+# workloads); SMEM capacity caps it (~1k rows measured on v5e — 2k fails to
+# compile). Bigger scenes switch to the streamed kernel, which double-buffers
+# STREAM_BLK-row blocks of the HBM-resident table through SMEM scratch — no
+# scene-size cap, same fused pipeline.
 MAX_SMEM_TRIANGLES = 512
 
 
-def _check_scene_fits(scene: Scene) -> None:
-    t = scene.tri_v0.shape[0]
-    if t > MAX_SMEM_TRIANGLES:
-        raise ValueError(
-            f"pallas kernel supports up to {MAX_SMEM_TRIANGLES} triangles "
-            f"(scene has {t}); use backend='jnp' or shard the triangle axis "
-            f"over a 'tp' mesh (uob_raytracer_tpu.parallel)")
+def _use_streamed(scene: Scene) -> bool:
+    return scene.tri_v0.shape[0] > MAX_SMEM_TRIANGLES
 
 
 def render_fused_res(scene: Scene, cfg: RenderConfig,
@@ -746,15 +835,18 @@ def render_fused_res(scene: Scene, cfg: RenderConfig,
     from ..ops.replay import Residuals
     if cfg.cpu_ref:
         raise ValueError("pallas backend does not implement cpu_ref mode")
-    _check_scene_fits(scene)
     rows = cfg.height if rows is None else rows
     off = (jnp.zeros((1,), jnp.int32) if row0 is None
            else jnp.asarray(row0, jnp.int32).reshape(1))
-    tri, sph, cam = pack_scene(scene)
+    streamed = _use_streamed(scene)
+    tri, sph, cam = pack_scene(scene,
+                               pad_rows_to=STREAM_BLK if streamed else 1)
+    if streamed:  # lane-tile-aligned rows for the HBM block DMA
+        tri = jnp.pad(tri, ((0, 0), (0, STREAM_COLS - tri.shape[1])))
     n_sph = scene.sph_center.shape[0]
     img, packed, pid, lit, bid = _call_kernel(
         tri, sph, cam, off, cfg, scene.tri_v0.shape[0], n_sph,
         _round_up(rows, TILE_H), _round_up(cfg.width, TILE_W), rows,
-        interpret, with_residuals=True)
+        interpret, with_residuals=True, streamed=streamed)
     return (jnp.transpose(img, (1, 2, 0)), packed,
             Residuals(prim_id=pid, lit_cnt=lit, bounce_id=bid))

@@ -63,13 +63,22 @@ def build_object_table(scene: Scene):
     return jnp.concatenate(rows, axis=0)
 
 
+# Above this table size the transient [rays, rows] one-hot stops paying for
+# itself (and would dominate memory); use the native gather instead.
+_ONEHOT_MAX_ROWS = 2048
+
+
 def _gather_rows(table, ids):
     """One-hot MXU gather: rows = onehot(ids) @ table. On TPU a row gather
     of a tiny table lowers to a slow dynamic-slice loop; the one-hot matmul
     (exact: each row has a single 1.0) is an order of magnitude faster and
-    its transpose — the scatter-add of the backward pass — is a matmul too."""
+    its transpose — the scatter-add of the backward pass — is a matmul too.
+    Large tables (streamed-kernel scenes) use jnp.take: the [N, rows]
+    one-hot no longer fits, and XLA's real gather/scatter wins there."""
     R = table.shape[0]
     idx = jnp.where(ids < 0, R - 1, ids)
+    if R > _ONEHOT_MAX_ROWS:
+        return jnp.take(table, idx, axis=0)
     oh = (idx[:, None] == jnp.arange(R, dtype=ids.dtype)[None, :]).astype(_F)
     return jnp.dot(oh, table, preferred_element_type=_F,
                    precision=jax.lax.Precision.HIGHEST)

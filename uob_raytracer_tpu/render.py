@@ -99,21 +99,25 @@ def _pallas_fwd(scene, cfg):
     return img, (scene, res)
 
 
-def _use_pallas_bwd() -> bool:
+def _use_pallas_bwd(scene: Scene) -> bool:
     """Fused Pallas backward on TPU; the jnp replay VJP elsewhere (CPU tests,
-    fake-device meshes). Override with UOB_RT_BWD=jnp|pallas."""
+    fake-device meshes, and scenes too large for the backward kernel's
+    SMEM-resident gradient accumulators). Override with
+    UOB_RT_BWD=jnp|pallas."""
     import os
+    from .kernels.render_fwd import MAX_SMEM_TRIANGLES
     mode = os.environ.get("UOB_RT_BWD", "auto")
     if mode == "jnp":
         return False
     if mode == "pallas":
         return True
-    return jax.default_backend() == "tpu"
+    return (jax.default_backend() == "tpu"
+            and scene.tri_v0.shape[0] <= MAX_SMEM_TRIANGLES)
 
 
 def _pallas_bwd(cfg, saved, g):
     scene, res = saved
-    if _use_pallas_bwd():
+    if _use_pallas_bwd(scene):
         from .kernels.render_bwd import render_replay_bwd
         return (render_replay_bwd(scene, cfg, res, g),)
     from .ops.replay import replay_forward
@@ -146,7 +150,7 @@ def _pallas_rows_fwd(scene, cfg, row0, rows):
 def _pallas_rows_bwd(cfg, rows, saved, g):
     import numpy as np
     scene, row0, res = saved
-    if _use_pallas_bwd():
+    if _use_pallas_bwd(scene):
         from .kernels.render_bwd import render_replay_bwd
         scene_bar = render_replay_bwd(scene, cfg, res, g, row0=row0,
                                       rows=rows)
@@ -180,10 +184,9 @@ def render_image(scene: Scene, cfg: RenderConfig,
     CPU / for cpu_ref mode)."""
     backend = _resolve_backend(backend, cfg)
     if backend == "pallas":
-        from .kernels.render_fwd import MAX_SMEM_TRIANGLES
-        if scene.tri_v0.shape[0] <= MAX_SMEM_TRIANGLES:
-            return _render_image_pallas(scene, cfg)
-        # scene too large for the SMEM-staged kernel: fall back to jnp
+        # any scene size: small scenes use the whole-table SMEM kernel,
+        # large ones the streamed (DMA-blocked) kernel
+        return _render_image_pallas(scene, cfg)
     return _render_image_jnp(scene, cfg, chunk_rows)
 
 
