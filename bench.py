@@ -3,13 +3,18 @@
 
     rays/s/chip fwd+bwd (Cornell Box 512^2, 1 bounce)
 
-(the BASELINE.json metric). Rays are *logical* reference-semantics ray-scene
-queries: primary rays + per-shaded-ray shadow samples + bounce re-intersects,
-counted from an instrumented forward pass — not padded/wavefront lanes.
-Auxiliary numbers (forward-only rays/s, frame times, per-config breakdown)
-go to stderr.
+(the BASELINE.json metric), with per-BASELINE-config numbers embedded under
+"configs". Rays are *logical* reference-semantics ray-scene queries: primary
+rays + per-shaded-ray shadow samples + bounce re-intersects, counted from an
+instrumented forward pass — not padded/wavefront lanes. Human-readable
+breakdowns go to stderr.
 
-Usage: python bench.py [--width N] [--bounces N] [--samples N] [--iters N]
+Usage:
+    python bench.py                     # headline + all five BASELINE configs
+    python bench.py --headline-only     # just the headline metric
+    python bench.py --config full_1024  # one named BASELINE config
+    python bench.py --scaling           # dp-sharded scaling efficiency sweep
+    python bench.py --profile DIR       # jax.profiler trace of one step
 """
 from __future__ import annotations
 
@@ -21,9 +26,9 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 import uob_raytracer_tpu as rt
+from uob_raytracer_tpu.config import baseline_configs
 from uob_raytracer_tpu.ops.camera import gen_primary_rays
 from uob_raytracer_tpu.ops.intersect import intersect, prepare_scene
 from uob_raytracer_tpu.ops.shading import trace_specular
@@ -73,34 +78,105 @@ def time_scalar_fn(scalar_fn, scene, iters: int) -> float:
     per-iteration time is estimated as the SLOPE between an N-iteration and
     a 2N-iteration run: (T(2N) - T(N)) / N cancels every per-fetch constant
     and measures pure device throughput. Both points are re-measured three
-    times and the minimum is used (scheduler noise is one-sided)."""
+    times and the minimum is used (scheduler noise is one-sided). The trip
+    count is a traced argument, so both points share one compiled program."""
     import dataclasses
 
-    def make_run(n):
-        @jax.jit
-        def run(s):
-            def body(_, carry):
-                acc, s2 = carry
-                s3 = dataclasses.replace(
-                    s2, light_pos=s2.light_pos + acc * 1e-12 + 1e-6)
-                return acc + scalar_fn(s3), s3
-            acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), s))
-            return acc
-        return run
+    @jax.jit
+    def run(s, n):
+        def body(_, carry):
+            acc, s2 = carry
+            s3 = dataclasses.replace(
+                s2, light_pos=s2.light_pos + acc * 1e-12 + 1e-6)
+            return acc + scalar_fn(s3), s3
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), s))
+        return acc
 
-    run1, run2 = make_run(iters), make_run(2 * iters)
-
-    def best(run):
-        float(run(scene))  # compile + warm
+    def best(n):
+        float(run(scene, n))  # compile (first call only) + warm
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(scene))
+            float(run(scene, n))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t1, t2 = best(run1), best(run2)
+    t1, t2 = best(iters), best(2 * iters)
     return max(t2 - t1, 1e-9) / iters
+
+
+def _fwd_scalar(cfg, backend):
+    return lambda s: jnp.mean(render_image(s, cfg, backend=backend))
+
+
+def _step_scalar(cfg, backend):
+    """Forward+backward: gradient of a scalar image loss w.r.t. every scene
+    parameter (vertices, colors, light, camera); a bit of every gradient
+    leaf is folded into the timed scalar so the whole backward stays live."""
+    def loss_grad(s):
+        v, g = jax.value_and_grad(
+            lambda ss: jnp.mean(render_image(ss, cfg, backend=backend)))(s)
+        return v + sum(jnp.sum(x) * 1e-12
+                       for x in jax.tree_util.tree_leaves(g))
+    return loss_grad
+
+
+def bench_config(name: str, cfg, scene, iters: int, backend: str) -> dict:
+    rays = logical_ray_count(scene, cfg)
+    dt_fwd = time_scalar_fn(_fwd_scalar(cfg, backend), scene, iters)
+    dt_step = time_scalar_fn(_step_scalar(cfg, backend), scene,
+                             max(4, iters // 2))
+    out = {
+        "rays_per_frame": rays,
+        "fwd_ms": round(dt_fwd * 1e3, 3),
+        "fwd_rays_s": round(rays / dt_fwd),
+        "fwd_bwd_ms": round(dt_step * 1e3, 3),
+        "fwd_bwd_rays_s": round(rays / dt_step),
+    }
+    print(f"# {name}: {cfg.width}x{cfg.height} aa{cfg.aa_rays} "
+          f"s{cfg.shadow_samples} b{cfg.bounces} | {rays:,} rays | "
+          f"fwd {out['fwd_ms']} ms ({out['fwd_rays_s']/1e9:.2f} G rays/s) | "
+          f"fwd+bwd {out['fwd_bwd_ms']} ms "
+          f"({out['fwd_bwd_rays_s']/1e9:.2f} G rays/s)", file=sys.stderr)
+    return out
+
+
+def bench_scaling(scene, iters: int) -> dict:
+    """dp-sharded fwd+bwd over 1..n_devices chips: per-chip scaling
+    efficiency eff(N) = T(1) / (N * T(N)) at fixed total work (one frame).
+    On a single-chip environment this exercises plumbing only (dp=1)."""
+    from uob_raytracer_tpu.parallel import make_mesh, image_loss
+
+    n_dev = len(jax.devices())
+    dps = sorted({1, 2, n_dev} & set(range(1, n_dev + 1))) if n_dev > 1 else [1]
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    h = 512 if 512 % (8 * n_dev) == 0 else 8 * n_dev * (512 // (8 * n_dev) + 1)
+    cfg = rt.RenderConfig(width=512, height=h, aa_x=2, aa_y=2,
+                          shadow_samples=10, bounces=1)
+    rays = logical_ray_count(scene, cfg)
+    results = {}
+    t1 = None
+    for dp in dps:
+        mesh = make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp])
+
+        def loss_grad(s, mesh=mesh):
+            v, g = jax.value_and_grad(image_loss)(
+                s, jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+                cfg, mesh, backend)
+            return v + sum(jnp.sum(x) * 1e-12
+                           for x in jax.tree_util.tree_leaves(g))
+
+        dt = time_scalar_fn(loss_grad, scene, iters)
+        if t1 is None:
+            t1 = dt
+        eff = t1 / (dp * dt)
+        results[f"dp{dp}"] = {"fwd_bwd_ms": round(dt * 1e3, 3),
+                              "rays_s": round(rays / dt),
+                              "efficiency": round(eff, 4)}
+        print(f"# scaling dp={dp}: {dt*1e3:.2f} ms/step "
+              f"({rays/dt:.3e} rays/s, efficiency {eff:.1%})",
+              file=sys.stderr)
+    return results
 
 
 def main() -> None:
@@ -111,59 +187,87 @@ def main() -> None:
     p.add_argument("--samples", type=int, default=10)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--backend", default="auto")
+    p.add_argument("--headline-only", action="store_true",
+                   help="skip the per-BASELINE-config sweep")
+    p.add_argument("--config", default=None, metavar="NAME",
+                   help="bench one named BASELINE config and exit "
+                        f"(one of: {', '.join(baseline_configs())})")
+    p.add_argument("--scaling", action="store_true",
+                   help="dp-sharded scaling sweep over available devices")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of one fwd+bwd step "
                         "into DIR (view in TensorBoard/Perfetto)")
     args = p.parse_args()
 
+    scene = rt.cornell_box()
+    dev = jax.devices()[0]
+    print(f"# device: {dev}, backend: {jax.default_backend()}, "
+          f"n_devices: {len(jax.devices())}", file=sys.stderr)
+
+    if args.config:
+        cfg = baseline_configs()[args.config]
+        out = bench_config(args.config, cfg, scene, args.iters, args.backend)
+        print(json.dumps({
+            "metric": f"rays/s/chip fwd+bwd ({args.config})",
+            "value": out["fwd_bwd_rays_s"], "unit": "rays/s",
+            "vs_baseline": out["fwd_bwd_rays_s"] / TARGET_RAYS_PER_S}))
+        return
+
+    if args.scaling:
+        res = bench_scaling(scene, max(4, args.iters // 4))
+        last = list(res)[-1]
+        print(json.dumps({
+            "metric": f"dp scaling efficiency ({last})",
+            "value": res[last]["efficiency"], "unit": "fraction",
+            "vs_baseline": res[last]["efficiency"] / 0.85,
+            "scaling": res}))
+        return
+
+    # --- headline: Cornell Box 512^2, AA4, 10 shadow samples, 1 bounce ---
     h = args.height or args.width
     cfg = rt.RenderConfig(width=args.width, height=h, aa_x=2, aa_y=2,
                           shadow_samples=args.samples, bounces=args.bounces)
-    scene = rt.cornell_box()
-    dev = jax.devices()[0]
-    print(f"# device: {dev}, backend: {jax.default_backend()}",
-          file=sys.stderr)
-
     rays = logical_ray_count(scene, cfg)
     print(f"# logical rays/frame: {rays:,} "
           f"({cfg.width}x{cfg.height} aa{cfg.aa_rays} "
           f"s{cfg.shadow_samples} b{cfg.bounces})", file=sys.stderr)
 
-    # forward-only (fused Pallas kernel on accelerators)
-    dt_fwd = time_scalar_fn(
-        lambda s: jnp.mean(render_image(s, cfg, backend=args.backend)),
-        scene, args.iters)
+    dt_fwd = time_scalar_fn(_fwd_scalar(cfg, args.backend), scene, args.iters)
     print(f"# forward: {dt_fwd*1e3:.2f} ms/frame = {rays/dt_fwd:.3e} rays/s",
           file=sys.stderr)
-
-    # forward+backward: gradient of a scalar image loss w.r.t. every scene
-    # parameter (vertices, colors, light, camera)
-    def loss_grad(s):
-        v, g = jax.value_and_grad(
-            lambda ss: jnp.mean(render_image(ss, cfg,
-                                             backend=args.backend)))(s)
-        # fold a bit of every gradient leaf into the timed scalar so the
-        # whole backward pass is live
-        return v + sum(jnp.sum(x) * 1e-12
-                       for x in jax.tree_util.tree_leaves(g))
-
-    dt_step = time_scalar_fn(loss_grad, scene, max(5, args.iters // 2))
+    dt_step = time_scalar_fn(_step_scalar(cfg, args.backend), scene,
+                             max(5, args.iters // 2))
     print(f"# fwd+bwd: {dt_step*1e3:.2f} ms/step = {rays/dt_step:.3e} rays/s",
           file=sys.stderr)
 
     if args.profile:
         with jax.profiler.trace(args.profile):
-            jax.block_until_ready(jax.jit(loss_grad)(scene))
+            jax.block_until_ready(jax.jit(
+                _step_scalar(cfg, args.backend))(scene))
         print(f"# profiler trace written to {args.profile}", file=sys.stderr)
 
+    configs = {}
+    if not args.headline_only:
+        for name, ccfg in baseline_configs().items():
+            try:
+                configs[name] = bench_config(name, ccfg, scene,
+                                             max(4, args.iters // 4),
+                                             args.backend)
+            except Exception as e:  # keep the headline alive no matter what
+                configs[name] = {"error": f"{type(e).__name__}: {e}"}
+                print(f"# {name}: FAILED — {e}", file=sys.stderr)
+
     value = rays / dt_step
-    print(json.dumps({
+    out = {
         "metric": f"rays/s/chip fwd+bwd (Cornell Box {cfg.width}^2, "
                   f"{cfg.bounces} bounce)",
         "value": value,
         "unit": "rays/s",
         "vs_baseline": value / TARGET_RAYS_PER_S,
-    }))
+    }
+    if configs:
+        out["configs"] = configs
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

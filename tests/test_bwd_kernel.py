@@ -83,6 +83,24 @@ def test_bwd_kernel_row_band():
     _assert_leafwise(ref, got, 1e-4)
 
 
+def test_streamed_bwd_kernel_matches_jnp_replay():
+    """>MAX_SMEM_TRIANGLES scenes route the backward through the streamed
+    kernel (HBM triangle table DMA-blocked through SMEM for the gathers,
+    per-lane triangle cotangents segment-summed outside): the gradient must
+    equal the jnp replay VJP, kernel-for-fallback."""
+    from test_pallas import _dense_scene
+    from uob_raytracer_tpu.kernels.render_fwd import _use_streamed
+
+    scene = _dense_scene(600)
+    assert _use_streamed(scene)
+    cfg = rt.RenderConfig(width=128, height=8, aa_x=1, aa_y=1,
+                          shadow_samples=2, bounces=1)
+    img, _, res = render_fused_res(scene, cfg, interpret=True)
+    g = jax.random.normal(jax.random.PRNGKey(2), img.shape, jnp.float32)
+    ref, got = _grads(scene, cfg, res, g)
+    _assert_leafwise(ref, got, 1e-4)
+
+
 def test_bwd_kernel_primal_matches_replay():
     """The kernel's replayed radiance (the vjp primal) equals
     replay_forward — the two implementations compute the same function."""

@@ -39,6 +39,73 @@ def test_dp_sharded_matches_single(scene):
                         what="dp-sharded vs single")
 
 
+def test_dp_sharded_pallas_matches_single(scene):
+    """The production multi-chip path: fused Pallas kernel per dp shard
+    (row-band launch, interpret mode on the CPU mesh) == the single-device
+    fused kernel."""
+    from conftest import assert_images_match
+    mesh = make_mesh(dp=8, tp=1)    # 64 rows / 8 shards = 8-row bands
+    img_s = np.asarray(jax.jit(
+        render_image_sharded,
+        static_argnames=("cfg", "mesh", "backend"))(
+            scene, CFG, mesh, backend="pallas"))
+    img_1 = np.asarray(render(scene, CFG, backend="pallas").image)
+    # same kernel, same math, different launch geometry: exact equality up
+    # to boundary flips from the padded-canvas crop
+    assert_images_match(img_s, img_1, tight=1e-6, outlier_frac=0.01,
+                        what="dp-sharded pallas vs single pallas")
+
+
+def test_sharded_pallas_grads_match_unsharded(scene):
+    """Gradients through the sharded Pallas path (fused fwd kernel + replay
+    VJP + shard_map-transpose psum) == the unsharded Pallas-path gradients."""
+    from uob_raytracer_tpu.render import render_image
+    cfg = RenderConfig(width=32, height=32, aa_x=1, aa_y=1,
+                       shadow_samples=2, bounces=1)
+    mesh = make_mesh(dp=4, tp=1)    # 8 rows per shard (kernel tile height)
+    target = jnp.zeros((32, 32, 3), jnp.float32)
+
+    def loss_single(s):
+        img = render_image(s, cfg, backend="pallas")
+        return jnp.mean(jnp.square(img - target))
+
+    g_sharded = jax.jit(
+        jax.grad(image_loss),
+        static_argnames=("cfg", "mesh", "backend"))(
+            scene, target, cfg, mesh, backend="pallas")
+    g_single = jax.grad(loss_single)(scene)
+    for name in ("light_pos", "light_color", "tri_v0", "tri_rgb",
+                 "camera_pos", "yaw"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_sharded, name)),
+            np.asarray(getattr(g_single, name)),
+            rtol=1e-4, atol=1e-6, err_msg=name)
+    assert np.abs(np.asarray(g_sharded.light_pos)).max() > 0
+    assert np.abs(np.asarray(g_sharded.tri_v0)).max() > 0
+
+
+@pytest.mark.slow
+def test_sharded_pallas_bwd_kernel(scene, monkeypatch):
+    """Force the fused Pallas *backward* kernel (UOB_RT_BWD=pallas,
+    interpret mode) under shard_map: grads match the jnp-replay route."""
+    monkeypatch.setenv("UOB_RT_BWD", "pallas")
+    cfg = RenderConfig(width=16, height=16, aa_x=1, aa_y=1,
+                       shadow_samples=2, bounces=1)
+    mesh = make_mesh(dp=2, tp=1)
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+    g_k = jax.jit(
+        jax.grad(image_loss),
+        static_argnames=("cfg", "mesh", "backend"))(
+            scene, target, cfg, mesh, backend="pallas")
+    monkeypatch.setenv("UOB_RT_BWD", "jnp")
+    g_j = jax.grad(image_loss, argnums=0)(scene, target, cfg, mesh,
+                                          backend="pallas")
+    for name in ("light_pos", "tri_v0", "tri_rgb"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_k, name)), np.asarray(getattr(g_j, name)),
+            rtol=1e-4, atol=1e-6, err_msg=name)
+
+
 def test_tp_sharded_matches_replicated(scene):
     from conftest import assert_images_match
     mesh = make_mesh(dp=2, tp=4)

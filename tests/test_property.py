@@ -53,8 +53,23 @@ def test_triangle_tuv_reconstructs_hit_point(v0, v1, v2, start, d):
     ds = prepare_scene(_mini_scene(v0, v1, v2))
     t, u, v, degen = jax.jit(_tri_tuv)(ds, jnp.asarray(start), jnp.asarray(d))
     t, u, v = np.asarray(t), np.asarray(u), np.asarray(v)
+    # Conditioning guard: the kernel uses the reference's epsilon-free accept
+    # (detA == 0 only), but XLA's FMA contraction leaves tiny nonzero detA
+    # for rays (near-)parallel to near-degenerate triangles, where f32
+    # Cramer is ill-conditioned and the two reconstructions legitimately
+    # diverge. Assert the property only where detA is large relative to the
+    # operand scale.
+    e1_np = (v1 - v0).astype(np.float64)
+    e2_np = (v2 - v0).astype(np.float64)
+    dn = np.asarray(d, np.float64)
+    scale = (np.linalg.norm(dn, axis=-1)[:, None]
+             * np.linalg.norm(e1_np, axis=-1)[None, :]
+             * np.linalg.norm(e2_np, axis=-1)[None, :])
+    detA = -dn @ np.cross(e1_np, e2_np).T
+    well_cond = np.abs(detA) > 1e-3 * np.maximum(scale, 1e-12)
     acc = ((t >= 0) & (u >= 0) & (v >= 0) & (u + v <= 1)
-           & ~np.asarray(degen) & np.isfinite(t) & (np.abs(t) < 1e3))
+           & ~np.asarray(degen) & np.isfinite(t) & (np.abs(t) < 1e3)
+           & well_cond)
     if not acc.any():
         return
     e1 = v1 - v0
@@ -67,7 +82,10 @@ def test_triangle_tuv_reconstructs_hit_point(v0, v1, v2, start, d):
 @settings(**_SETTINGS)
 @given(c=vec3, start=vec3,
        r2=arrays(np.float32, (8,),
-                 elements=st.floats(1e-3, 1.0, allow_nan=False, width=32)))
+                 # 2^-10: exactly representable in f32 (hypothesis rejects
+                 # non-representable bounds like 1e-3 at width=32)
+                 elements=st.floats(0.0009765625, 1.0,
+                                    allow_nan=False, width=32)))
 def test_sphere_roots_lie_on_sphere(c, start, r2):
     """Every finite root x of the stable quadratic (kernels.cl:140-143)
     satisfies |start + x*d - c|^2 == r^2."""

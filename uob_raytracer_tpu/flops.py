@@ -1,0 +1,88 @@
+"""Analytic vector-op counts for the fused forward kernel — the basis of the
+speed-of-light / utilization analysis in BASELINE.md.
+
+The ray tracer does no matmuls: every hot loop is elementwise f32 on the VPU
+(the MXU is idle by design — there is nothing to contract). The right
+"speed of light" is therefore the VPU's vector-op issue rate, measured
+empirically by ``bench.py --roofline`` with a chained-FMA Pallas kernel
+(``_vpu_peak``), not the MXU TFLOP headline.
+
+Counting rules (documented so the numbers are auditable):
+* one vector op = one VPU instruction over a (8,128) tile lane:
+  mul/add/sub/compare/select/max/min/neg/and/or = 1; fused mul-add = 1;
+  recip/sqrt/divide = 1 (they issue as one slow op — this *undercounts*
+  their latency, making the utilization figure conservative);
+* scalar-unit work (per-triangle invariants in the shared-origin primary
+  scan, SMEM loads, control) = 0: it overlaps the vector stream;
+* counts are per *lane* = one AA ray of one pixel; a frame has
+  H * W * aa_rays lanes.
+
+Derived from the kernel structure in ``kernels/render_fwd.py`` (per-site
+bodies: ``_nearest_hit_primary``, ``_lit_count``, ``_nearest_hit``); the
+per-triangle figures below were hand-counted from those bodies and are
+accurate to ~±15% (selects and mask plumbing dominate the uncertainty).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .config import RenderConfig
+
+# per-lane vector ops, hand-counted from kernels/render_fwd.py
+PRIMARY_PER_TRI = 29       # shared-origin fast path (_nearest_hit_primary)
+PRIMARY_PER_SPH = 28
+PRIMARY_GATHER_PER_TRI = 8  # winner reconstruction (1 cmp + 7 selects)
+SHADOW_FIXED_PER_TRI = 20  # per-triangle invariants (b, t_num, B2, B1)
+SHADOW_PER_TRI_SAMPLE = 25  # division-free accept test per jittered ray
+SHADOW_PER_SPH_SAMPLE = 30
+SHADOW_JITTER_PER_SAMPLE = 38  # xorshift3 + crush3 + dir add + |d|^2
+BOUNCE_PER_TRI = 100       # general-origin Cramer scan (_nearest_hit body)
+BOUNCE_PER_SPH = 60
+BOUNCE_FIXED = 90          # reflect + refract + renormalize + bookkeeping
+RAYGEN_SHADE_FIXED = 80    # ray gen, Lambert, combine, AA mean, pack
+
+
+def forward_ops(cfg: RenderConfig, n_tri: int, n_sph: int,
+                bounce_tile_fracs=None) -> dict:
+    """Vector-op breakdown for one forward frame.
+
+    bounce_tile_fracs: per-bounce-step fraction of (8,128) tiles still
+    active (the kernel's tile-level early exit, measured from residuals by
+    ``bench.py --roofline``); defaults to the Cornell-like estimate
+    (~14% of tiles hold a specular object, halving per step).
+    """
+    lanes = cfg.width * cfg.height * cfg.aa_rays
+    S = cfg.shadow_samples
+    primary = (n_tri * PRIMARY_PER_TRI + n_sph * PRIMARY_PER_SPH
+               + n_tri * PRIMARY_GATHER_PER_TRI)
+    shadow = (n_tri * (SHADOW_FIXED_PER_TRI + SHADOW_PER_TRI_SAMPLE * S)
+              + n_sph * SHADOW_PER_SPH_SAMPLE * S
+              + SHADOW_JITTER_PER_SAMPLE * S)
+    if bounce_tile_fracs is None:
+        bounce_tile_fracs = [0.14 * 0.5 ** b for b in range(cfg.bounces)]
+    per_bounce = (BOUNCE_FIXED + n_tri * BOUNCE_PER_TRI
+                  + n_sph * BOUNCE_PER_SPH)
+    bounce = per_bounce * float(np.sum(bounce_tile_fracs[:cfg.bounces]))
+    per_lane = primary + shadow + bounce + RAYGEN_SHADE_FIXED
+    return {
+        "lanes": lanes,
+        "per_lane": {"primary": primary, "shadow": shadow,
+                     "bounce": round(bounce, 1),
+                     "fixed": RAYGEN_SHADE_FIXED},
+        "total": lanes * per_lane,
+    }
+
+
+def bounce_tile_fracs_from_residuals(res, bounces: int):
+    """Exact per-step active-tile fractions from recorded bounce ids: a tile
+    executes bounce step b iff any of its lanes is active there."""
+    if bounces == 0:
+        return []
+    bid = np.asarray(res.bounce_id)   # [B, A, H, W]
+    B, A, H, W = bid.shape
+    hp, wp = -(-H // 8) * 8, -(-W // 128) * 128
+    pad = np.full((B, A, hp, wp), -1, bid.dtype)
+    pad[:, :, :H, :W] = bid
+    tiles = pad.reshape(B, A, hp // 8, 8, wp // 128, 128)
+    active = (tiles >= 0).any(axis=(1, 3, 5))     # [B, th, tw]
+    return [float(a.mean()) for a in active]

@@ -36,8 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 from ..scene import Scene
-from .render_fwd import (TILE_H, TILE_W, _add, _dot, _round_up, _scale,
-                         _sub, _where3, pack_scene)
+from .render_fwd import (STREAM_BLK, STREAM_COLS, TILE_H, TILE_W, _add,
+                         _dot, _round_up, _scale, _smem_tri_scan,
+                         _streamed_tri_scan, _sub, _use_streamed, _where3,
+                         pack_scene)
 
 _F = np.float32
 
@@ -78,36 +80,40 @@ class _Row:
                     self.mat, self.is_sph, self.valid)
 
 
-def _gather_row(tri_ref, sph_ref, n_tri: int, n_sph: int, ids):
+def _gather_row(tri_scan, sph_ref, n_tri: int, n_sph: int, ids):
     """Select-accumulate the row of the object each lane hit (id encoding as
-    ops/replay.py: 0..T-1 triangle, T+s sphere, -1 miss). Returns the row
-    plus the per-object lane masks reused by the gradient scatter."""
+    ops/replay.py: 0..T-1 triangle, T+s sphere, -1 miss).
+
+    The triangle pass runs through a scan strategy (render_fwd's
+    ``_smem_tri_scan`` for whole-table scenes, ``_streamed_tri_scan`` for
+    HBM-resident tables) — a runtime loop with dynamic indexing, so
+    trace/compile time is O(1) in the triangle count (the Python unroll it
+    replaces was ~16 masked selects *per triangle*)."""
     shape = ids.shape
     zero = jnp.zeros(shape, _F)
-    z3 = (zero, zero, zero)
-    v0, e1, e2, n, rgb = z3, z3, z3, z3, z3
+    # Triangle-lane ids as f32 (exact below 2^24), non-triangle lanes mapped
+    # to -2 so streamed pad rows (global index >= n_tri) can never match a
+    # sphere lane's id.
+    idf = jnp.where(ids < n_tri, ids, -2).astype(_F)
+
+    def body(get, gi, carry):
+        m = idf == gi
+        new = tuple(jnp.where(m, get(c), old)
+                    for c, old in enumerate(carry[:15]))
+        return new + (jnp.where(m, get(15), carry[15]),)
+
+    init = (zero,) * 15 + (jnp.ones(shape, _F),)  # miss row: mat=1
+    flat = tri_scan(body, init)
+    v0, e1, e2 = tuple(flat[0:3]), tuple(flat[3:6]), tuple(flat[6:9])
+    n, rgb, mat = tuple(flat[9:12]), tuple(flat[12:15]), flat[15]
     r2 = zero
-    mat = jnp.ones(shape, _F)          # miss row: mat=1 (replay.py pad row)
-    masks = []
-    for i in range(n_tri):
-        m = ids == i
-        masks.append(m)
-        v0 = _where3(m, (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]), v0)
-        e1 = _where3(m, (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]), e1)
-        e2 = _where3(m, (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]), e2)
-        n = _where3(m, (tri_ref[i, 9], tri_ref[i, 10], tri_ref[i, 11]), n)
-        rgb = _where3(m, (tri_ref[i, 12], tri_ref[i, 13], tri_ref[i, 14]),
-                      rgb)
-        mat = jnp.where(m, tri_ref[i, 15], mat)
     for s in range(n_sph):
         m = ids == n_tri + s
-        masks.append(m)
         v0 = _where3(m, (sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]), v0)
         rgb = _where3(m, (sph_ref[s, 4], sph_ref[s, 5], sph_ref[s, 6]), rgb)
         r2 = jnp.where(m, sph_ref[s, 3], r2)
         mat = jnp.where(m, sph_ref[s, 7], mat)
-    row = _Row(v0, e1, e2, n, rgb, r2, mat, ids >= n_tri, ids >= 0)
-    return row, masks
+    return _Row(v0, e1, e2, n, rgb, r2, mat, ids >= n_tri, ids >= 0)
 
 
 def _hit_from_row(row: _Row, start, d):
@@ -259,17 +265,32 @@ def _replay_tile(cfg: RenderConfig, cam_vals, prim: _Row, bnc: list[_Row],
 # --------------------------------------------------------------------------
 
 def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
-                bid_ref, dtri_ref, dsph_ref, dcam_ref, img_ref, *,
-                cfg: RenderConfig, n_tri: int, n_sph: int):
+                bid_ref, *refs, cfg: RenderConfig, n_tri: int, n_sph: int,
+                streamed: bool = False):
+    if streamed:
+        # Triangle cotangents leave the kernel as per-lane tiles
+        # (dlane_ref); the caller segment-sums them into the table — the
+        # table-shaped accumulator would not fit SMEM at streamed scale.
+        dsph_ref, dcam_ref, img_ref, dlane_ref, tri_buf, tri_sems = refs
+        dtri_ref = None
+        tri_scan = _streamed_tri_scan(tri_ref, tri_buf, tri_sems,
+                                      tri_ref.shape[0])
+    else:
+        dtri_ref, dsph_ref, dcam_ref, img_ref = refs
+        dlane_ref = None
+        tri_scan = _smem_tri_scan(tri_ref, n_tri)
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when((i == 0) & (j == 0))
     def _():
         # scalar stores: the accumulators live in SMEM
-        for r in range(dtri_ref.shape[0]):
-            for c in range(TRI_COLS):
-                dtri_ref[r, c] = _F(0.0)
+        if not streamed:
+            def zero_tri(r, _):
+                for c in range(TRI_COLS):
+                    dtri_ref[r, c] = _F(0.0)
+                return 0
+            jax.lax.fori_loop(0, dtri_ref.shape[0], zero_tri, 0)
         for r in range(dsph_ref.shape[0]):
             for c in range(SPH_COLS):
                 dsph_ref[r, c] = _F(0.0)
@@ -285,16 +306,14 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
     lit = lit_ref[...]
     g = (g_ref[0], g_ref[1], g_ref[2])
 
-    # --- gathers (non-differentiable; masks reused by the scatter) ---
-    prim, prim_masks = _gather_row(tri_ref, sph_ref, n_tri, n_sph, pid)
-    bnc, bnc_masks, bids = [], [], []
+    # --- gathers (non-differentiable) ---
+    prim = _gather_row(tri_scan, sph_ref, n_tri, n_sph, pid)
+    bnc, bids = [], []
     if cfg.bounces > 0:
         for b in range(cfg.bounces):
             ids_b = bid_ref[b]
             bids.append(ids_b)
-            row, masks = _gather_row(tri_ref, sph_ref, n_tri, n_sph, ids_b)
-            bnc.append(row)
-            bnc_masks.append(masks)
+            bnc.append(_gather_row(tri_scan, sph_ref, n_tri, n_sph, ids_b))
 
     # --- non-differentiable ray-gen pieces (pixel coordinates) ---
     ys = (off_ref[0] + i * TILE_H
@@ -333,18 +352,11 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
     img_ref[2] = primal[2]
     dcam, dprim, dbnc = vjp(g)
 
-    # --- scatter: per-object masked sums, gated on tile occupancy ---
-    def scatter(masks, dflat):
-        for o in range(n_tri):
-            m = masks[o]
-
-            @pl.when(jnp.any(m))
-            def _(o=o, m=m):
-                mf = m.astype(_F)
-                for c in range(15):      # v0,e1,e2,n,rgb -> cols 0..14
-                    dtri_ref[o, c] += jnp.sum(mf * dflat[c])
+    # --- scatter ---
+    # Sphere cotangents: SMEM accumulates (spheres are always few).
+    def scatter_sph(ids, dflat):
         for s in range(n_sph):
-            m = masks[n_tri + s]
+            m = ids == n_tri + s
 
             @pl.when(jnp.any(m))
             def _(s=s, m=m):
@@ -355,32 +367,106 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
                     dsph_ref[s, 4 + c] += jnp.sum(mf * dflat[12 + c])
                 dsph_ref[s, 3] += jnp.sum(mf * dflat[15])   # r2
 
-    scatter(prim_masks, dprim)
-    for b in range(len(bnc)):
-        # most tiles leave the bounce loop immediately — skip their scatter
-        @pl.when(jnp.max(bids[b]) >= 0)
-        def _(b=b):
-            scatter(bnc_masks[b], dbnc[b])
+    if streamed:
+        # Triangle cotangents: written per lane; the caller segment-sums
+        # them over recorded ids (lanes with id < 0 or a sphere id carry
+        # zero weight there).
+        def scatter_tri(site, dflat):
+            for c in range(16):
+                dlane_ref[site * 16 + c] = dflat[c]
+    else:
+        # Triangle cotangents: per-object masked sums into the SMEM table —
+        # a fori_loop with dynamic SMEM accumulates (compile time O(1) in
+        # scene size); the pl.when gate skips the 15 tile reductions for
+        # every object no ray of this tile hit, and each tile touches only
+        # a handful of objects, so the loop is mostly the cheap any() test.
+        def scatter_tri(site, dflat, ids):
+            def body(o, _):
+                m = ids == o
+
+                @pl.when(jnp.any(m))
+                def _():
+                    mf = m.astype(_F)
+                    for c in range(15):  # v0,e1,e2,n,rgb -> cols 0..14
+                        dtri_ref[o, c] += jnp.sum(mf * dflat[c])
+                return 0
+
+            jax.lax.fori_loop(0, n_tri, body, 0)
+
+    if streamed:
+        scatter_tri(0, dprim)
+        scatter_sph(pid, dprim)
+        for b in range(len(bnc)):
+            scatter_tri(1 + b, dbnc[b])
+
+            @pl.when(jnp.max(bids[b]) >= 0)
+            def _(b=b):
+                scatter_sph(bids[b], dbnc[b])
+    else:
+        scatter_tri(0, dprim, pid)
+        scatter_sph(pid, dprim)
+        for b in range(len(bnc)):
+            # most tiles exit the bounce loop at once — skip their scatter
+            @pl.when(jnp.max(bids[b]) >= 0)
+            def _(b=b):
+                scatter_tri(1 + b, dbnc[b], bids[b])
+                scatter_sph(bids[b], dbnc[b])
 
     for k in range(CAM_COLS):
         dcam_ref[0, k] += dcam[k]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_tri", "n_sph", "hp",
-                                             "wp", "interpret"))
+                                             "wp", "interpret", "streamed"))
 def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, cfg: RenderConfig,
               n_tri: int, n_sph: int, hp: int, wp: int,
-              interpret: bool = False):
+              interpret: bool = False, streamed: bool = False):
     grid = (hp // TILE_H, wp // TILE_W)
     A = cfg.aa_rays
     B = max(cfg.bounces, 1)   # bid is padded to >=1 so the spec is static
+    sites = 1 + cfg.bounces   # prim + one per bounce
     kernel = functools.partial(_bwd_kernel, cfg=cfg, n_tri=n_tri,
-                               n_sph=n_sph)
-    dtri, dsph, dcam, img = pl.pallas_call(
+                               n_sph=n_sph, streamed=streamed)
+    sph_spec = pl.BlockSpec((max(n_sph, 1), SPH_COLS), lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    cam_spec = pl.BlockSpec((1, CAM_COLS), lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    img_spec = pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+    sph_shape = jax.ShapeDtypeStruct((max(n_sph, 1), SPH_COLS), jnp.float32)
+    cam_shape = jax.ShapeDtypeStruct((1, CAM_COLS), jnp.float32)
+    img_shape = jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)
+    if streamed:
+        out_specs = [
+            sph_spec, cam_spec, img_spec,
+            pl.BlockSpec((sites * 16, A, TILE_H, TILE_W),
+                         lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            sph_shape, cam_shape, img_shape,
+            jax.ShapeDtypeStruct((sites * 16, A, hp, wp), jnp.float32),
+        ]
+        scratch = [pltpu.SMEM((2, STREAM_BLK, STREAM_COLS), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,))]
+        tri_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    else:
+        out_specs = [
+            pl.BlockSpec((n_tri, TRI_COLS), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            sph_spec, cam_spec, img_spec,
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_tri, TRI_COLS), jnp.float32),
+            sph_shape, cam_shape, img_shape,
+        ]
+        scratch = []
+        tri_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tri_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -393,25 +479,16 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, cfg: RenderConfig,
             pl.BlockSpec((B, A, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((n_tri, TRI_COLS), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((max(n_sph, 1), SPH_COLS), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, CAM_COLS), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tri, TRI_COLS), jnp.float32),
-            jax.ShapeDtypeStruct((max(n_sph, 1), SPH_COLS), jnp.float32),
-            jax.ShapeDtypeStruct((1, CAM_COLS), jnp.float32),
-            jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(tri, sph, cam, off, g, pid, lit, bid)
-    return dtri, dsph, dcam, img
+    if streamed:
+        dsph, dcam, img, dlane = outs
+        return None, dsph, dcam, img, dlane
+    dtri, dsph, dcam, img = outs
+    return dtri, dsph, dcam, img, None
 
 
 def _pad_hw(x, hp, wp, fill):
@@ -425,16 +502,26 @@ def _pad_hw(x, hp, wp, fill):
 
 def render_replay_bwd(scene: Scene, cfg: RenderConfig, res, g,
                       row0=None, rows: int | None = None,
-                      interpret: bool = False, return_primal: bool = False):
+                      interpret: bool | None = None,
+                      return_primal: bool = False):
     """Scene cotangent for the fused forward render: the Pallas path-replay
     backward. `res` is the Residuals record from ``render_fused_res``; `g`
     is the image cotangent [rows, W, 3]. Returns a Scene-pytree gradient
     identical (to float tolerance) to ``jax.vjp`` of
     ``ops/replay.replay_forward``."""
+    from .render_fwd import default_interpret
+    if interpret is None:
+        interpret = default_interpret()
     rows = cfg.height if rows is None else rows
     off = (jnp.zeros((1,), jnp.int32) if row0 is None
            else jnp.asarray(row0, jnp.int32).reshape(1))
-    (tri, sph, cam), pack_vjp = jax.vjp(pack_scene, scene)
+    streamed = _use_streamed(scene)
+    (tri, sph, cam), pack_vjp = jax.vjp(
+        functools.partial(pack_scene,
+                          pad_rows_to=STREAM_BLK if streamed else 1), scene)
+    t_pad = tri.shape[0]
+    if streamed:  # lane-tile-aligned rows for the HBM block DMA
+        tri = jnp.pad(tri, ((0, 0), (0, STREAM_COLS - tri.shape[1])))
     n_tri = scene.tri_v0.shape[0]
     n_sph = scene.sph_center.shape[0]
     hp = _round_up(rows, TILE_H)
@@ -451,8 +538,26 @@ def render_replay_bwd(scene: Scene, cfg: RenderConfig, res, g,
     else:
         bid = jnp.full((1,) + pid.shape, -1, jnp.int32)
 
-    dtri, dsph, dcam, img = _call_bwd(tri, sph, cam, off, g3, pid, lit, bid,
-                                      cfg, n_tri, n_sph, hp, wp, interpret)
+    dtri, dsph, dcam, img, dlane = _call_bwd(
+        tri, sph, cam, off, g3, pid, lit, bid, cfg, n_tri, n_sph, hp, wp,
+        interpret, streamed=streamed)
+    if streamed:
+        # Scatter the per-lane triangle cotangents into the table outside
+        # the kernel: one segment-sum over the recorded hit ids. Traffic is
+        # O(rays x (1+bounces) x 16 floats) — tiny next to the jnp replay
+        # VJP's materialized intermediates, and independent of scene size.
+        sites = 1 + cfg.bounces
+        ids_sites = (jnp.concatenate([pid[None], bid], axis=0)
+                     if cfg.bounces > 0 else pid[None])
+        ids_all = ids_sites.reshape(-1)
+        data = jnp.transpose(dlane.reshape(sites, 16, -1),
+                             (0, 2, 1)).reshape(-1, 16)
+        is_tri = (ids_all >= 0) & (ids_all < n_tri)
+        seg = jnp.where(is_tri, ids_all, 0)
+        sums = jax.ops.segment_sum(data * is_tri[:, None].astype(jnp.float32),
+                                   seg, num_segments=t_pad)
+        dtri = jnp.zeros((t_pad, TRI_COLS), jnp.float32
+                         ).at[:, :15].set(sums[:, :15])
     if n_sph == 0:
         dsph = jnp.zeros((1, SPH_COLS), jnp.float32)  # matches pack_scene pad
     (scene_bar,) = pack_vjp((dtri, dsph, dcam[0]))

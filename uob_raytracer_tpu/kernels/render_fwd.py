@@ -368,7 +368,9 @@ def _nearest_hit_primary(tri_ref, sph_ref, n_tri, n_sph, cam, d):
         t_b = jnp.where(ok, cand, t_b)
         idf = jnp.where(ok, _F(n_tri + i), idf)
 
-    # --- winner reconstruction: one gather over the scene ---
+    # --- winner reconstruction: one gather over the scene. fori_loop with
+    # dynamic SMEM indexing (not a Python unroll): trace/compile time is
+    # O(1) in the triangle count ---
     hit = t_b < _BIG
     t_s = jnp.where(hit, t_b, _F(0.0))
     start = tuple(jnp.broadcast_to(jnp.reshape(c, (1, 1, 1)), shape)
@@ -376,16 +378,23 @@ def _nearest_hit_primary(tri_ref, sph_ref, n_tri, n_sph, cam, d):
     pos = _add(start, _scale(t_s, d))
     zero = jnp.zeros(shape)
     pos = _where3(hit, pos, (zero, zero, zero))
-    nrm = (zero, zero, zero)
-    rgb = (zero, zero, zero)
-    mat = jnp.ones(shape)
-    for i in range(n_tri):
-        m = idf == _F(i)
-        nrm = _where3(m, (tri_ref[i, 9], tri_ref[i, 10], tri_ref[i, 11]),
-                      nrm)
-        rgb = _where3(m, (tri_ref[i, 12], tri_ref[i, 13], tri_ref[i, 14]),
-                      rgb)
-        mat = jnp.where(m, tri_ref[i, 15], mat)
+
+    def gather_body(i, carry):
+        nx, ny, nz, cr, cg, cb, mat = carry
+        m = idf == i.astype(_F)
+        return (jnp.where(m, tri_ref[i, 9], nx),
+                jnp.where(m, tri_ref[i, 10], ny),
+                jnp.where(m, tri_ref[i, 11], nz),
+                jnp.where(m, tri_ref[i, 12], cr),
+                jnp.where(m, tri_ref[i, 13], cg),
+                jnp.where(m, tri_ref[i, 14], cb),
+                jnp.where(m, tri_ref[i, 15], mat))
+
+    nx, ny, nz, cr, cg, cb, mat = jax.lax.fori_loop(
+        0, n_tri, gather_body,
+        (zero, zero, zero, zero, zero, zero, jnp.ones(shape)))
+    nrm = (nx, ny, nz)
+    rgb = (cr, cg, cb)
     for i in range(n_sph):
         m = idf == _F(n_tri + i)
         pc = _sub(pos, (sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2]))
@@ -786,8 +795,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def default_interpret() -> bool:
+    """Pallas interpret mode everywhere but real TPU hardware, so the same
+    production kernels execute on the CPU test backend (including the
+    8-virtual-device shard_map meshes) without callers having to plumb a
+    flag."""
+    return jax.default_backend() != "tpu"
+
+
 def render_fused_raw(scene: Scene, cfg: RenderConfig,
-                     interpret: bool = False, row0=None,
+                     interpret: bool | None = None, row0=None,
                      rows: int | None = None):
     """Forward render via the fused Pallas kernel.
 
@@ -799,6 +816,8 @@ def render_fused_raw(scene: Scene, cfg: RenderConfig,
     custom_vjp."""
     if cfg.cpu_ref:
         raise ValueError("pallas backend does not implement cpu_ref mode")
+    if interpret is None:
+        interpret = default_interpret()
     rows = cfg.height if rows is None else rows
     off = (jnp.zeros((1,), jnp.int32) if row0 is None
            else jnp.asarray(row0, jnp.int32).reshape(1))
@@ -828,13 +847,15 @@ def _use_streamed(scene: Scene) -> bool:
 
 
 def render_fused_res(scene: Scene, cfg: RenderConfig,
-                     interpret: bool = False, row0=None,
+                     interpret: bool | None = None, row0=None,
                      rows: int | None = None):
     """Forward render that also returns the decision residuals consumed by
     the path-replay backward: (image, packed, Residuals)."""
     from ..ops.replay import Residuals
     if cfg.cpu_ref:
         raise ValueError("pallas backend does not implement cpu_ref mode")
+    if interpret is None:
+        interpret = default_interpret()
     rows = cfg.height if rows is None else rows
     off = (jnp.zeros((1,), jnp.int32) if row0 is None
            else jnp.asarray(row0, jnp.int32).reshape(1))

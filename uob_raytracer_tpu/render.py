@@ -100,19 +100,17 @@ def _pallas_fwd(scene, cfg):
 
 
 def _use_pallas_bwd(scene: Scene) -> bool:
-    """Fused Pallas backward on TPU; the jnp replay VJP elsewhere (CPU tests,
-    fake-device meshes, and scenes too large for the backward kernel's
-    SMEM-resident gradient accumulators). Override with
-    UOB_RT_BWD=jnp|pallas."""
+    """Fused Pallas backward on TPU (any scene size: the SMEM-table kernel
+    below MAX_SMEM_TRIANGLES, the streamed kernel above it); the jnp replay
+    VJP on the CPU test backend, where XLA's fusion serves the same role.
+    Override with UOB_RT_BWD=jnp|pallas."""
     import os
-    from .kernels.render_fwd import MAX_SMEM_TRIANGLES
     mode = os.environ.get("UOB_RT_BWD", "auto")
     if mode == "jnp":
         return False
     if mode == "pallas":
         return True
-    return (jax.default_backend() == "tpu"
-            and scene.tri_v0.shape[0] <= MAX_SMEM_TRIANGLES)
+    return jax.default_backend() == "tpu"
 
 
 def _pallas_bwd(cfg, saved, g):
