@@ -39,20 +39,34 @@ TARGET_RAYS_PER_S = 1.0e9  # BASELINE.json north-star target on v5e
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _ray_count_stats(scene, cfg):
+    # Chunk the [rays, tris] instrumented pass like render_flat does —
+    # unchunked, XLA's (8,128)-tiled layout pads the [4M, 3] ray arrays 42x
+    # and a 1024x1024 aa4 frame blows past HBM.
+    from uob_raytracer_tpu.render import _pick_chunk_rows
     ds = prepare_scene(scene)
     dirs, gid = gen_primary_rays(cfg, scene.yaw, scene.pitch)
-    d = dirs.reshape(-1, 3)
-    start = jnp.broadcast_to(ds.camera_pos, (d.shape[0], 3))
-    h = intersect(ds, start, d)
-    prim_diffuse = h.hit & (h.mat > 0)
-    if cfg.bounces > 0:
-        term = trace_specular(ds, cfg, h, d)
-        n_bounce = term["bounce_rays"]
-        shaded = prim_diffuse | term["term_valid"]
-    else:
-        n_bounce = jnp.int32(0)
-        shaded = prim_diffuse
-    return n_bounce, jnp.sum(shaded.astype(jnp.int32))
+    A = dirs.shape[2]
+    chunk_rows = _pick_chunk_rows(cfg)
+    n_chunks = cfg.height // chunk_rows
+    d_flat = dirs.reshape(n_chunks, chunk_rows * cfg.width * A, 3)
+
+    def per_chunk(d):
+        start = jnp.broadcast_to(ds.camera_pos, (d.shape[0], 3))
+        h = intersect(ds, start, d)
+        prim_diffuse = h.hit & (h.mat > 0)
+        if cfg.bounces > 0:
+            term = trace_specular(ds, cfg, h, d)
+            n_bounce = term["bounce_rays"]
+            shaded = prim_diffuse | term["term_valid"]
+        else:
+            n_bounce = jnp.int32(0)
+            shaded = prim_diffuse
+        return n_bounce, jnp.sum(shaded.astype(jnp.int32))
+
+    if n_chunks == 1:
+        return per_chunk(d_flat[0])
+    nb, ns = jax.lax.map(per_chunk, d_flat)
+    return jnp.sum(nb), jnp.sum(ns)
 
 
 def logical_ray_count(scene, cfg) -> int:
@@ -179,6 +193,40 @@ def bench_scaling(scene, iters: int) -> dict:
     return results
 
 
+def bench_roofline(scene, iters: int) -> dict:
+    """Speed-of-light analysis of the fused forward kernel on this chip:
+    analytic VPU vector-op count (flops.py, exact per-step bounce activity
+    from recorded residuals) vs the measured chained-FMA VPU ceiling."""
+    from uob_raytracer_tpu.flops import (bounce_tile_fracs_from_residuals,
+                                         forward_ops, measure_vpu_peak)
+    from uob_raytracer_tpu.kernels.render_fwd import render_fused_res
+
+    cfg = rt.RenderConfig(width=512, height=512, aa_x=2, aa_y=2,
+                          shadow_samples=10, bounces=1)
+    _, _, res = render_fused_res(scene, cfg)
+    fracs = bounce_tile_fracs_from_residuals(res, cfg.bounces)
+    ops = forward_ops(cfg, scene.tri_v0.shape[0],
+                      scene.sph_center.shape[0], fracs)
+    dt = time_scalar_fn(_fwd_scalar(cfg, "pallas"), scene, iters)
+    peak = measure_vpu_peak()
+    util = ops["total"] / dt / peak
+    out = {
+        "ops_per_frame": ops["total"],
+        "per_lane_ops": ops["per_lane"],
+        "bounce_tile_fracs": [round(f, 4) for f in fracs],
+        "frame_ms": round(dt * 1e3, 3),
+        "achieved_ops_s": round(ops["total"] / dt),
+        "vpu_peak_ops_s": round(peak),
+        "vpu_utilization": round(util, 4),
+    }
+    print(f"# roofline: {ops['total']/1e9:.2f} G vector-ops/frame "
+          f"(per-lane {ops['per_lane']}), frame {dt*1e3:.2f} ms -> "
+          f"{ops['total']/dt/1e12:.2f} T ops/s vs measured VPU ceiling "
+          f"{peak/1e12:.2f} T ops/s = {util:.1%} utilization",
+          file=sys.stderr)
+    return out
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=512)
@@ -194,6 +242,9 @@ def main() -> None:
                         f"(one of: {', '.join(baseline_configs())})")
     p.add_argument("--scaling", action="store_true",
                    help="dp-sharded scaling sweep over available devices")
+    p.add_argument("--roofline", action="store_true",
+                   help="speed-of-light analysis: analytic vector-op count "
+                        "vs the measured VPU ceiling")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of one fwd+bwd step "
                         "into DIR (view in TensorBoard/Perfetto)")
@@ -211,6 +262,15 @@ def main() -> None:
             "metric": f"rays/s/chip fwd+bwd ({args.config})",
             "value": out["fwd_bwd_rays_s"], "unit": "rays/s",
             "vs_baseline": out["fwd_bwd_rays_s"] / TARGET_RAYS_PER_S}))
+        return
+
+    if args.roofline:
+        res = bench_roofline(scene, args.iters)
+        print(json.dumps({
+            "metric": "VPU utilization (fused fwd kernel, 512^2 aa4 s10 b1)",
+            "value": res["vpu_utilization"], "unit": "fraction",
+            "vs_baseline": res["vpu_utilization"],
+            "roofline": res}))
         return
 
     if args.scaling:

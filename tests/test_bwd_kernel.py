@@ -42,11 +42,14 @@ def _assert_leafwise(ref, got, rtol):
 @pytest.mark.parametrize("kw", [
     dict(bounces=0),
     dict(bounces=1),
-    dict(bounces=2, fresnel=True),
-    dict(bounces=2, quirk_nan_tir=True),
+    # the 2-bounce interpret-mode cases take ~2 min each: slow-marked so the
+    # default suite stays fast (scripts/test.sh runs everything)
+    pytest.param(dict(bounces=2, fresnel=True), marks=pytest.mark.slow),
+    pytest.param(dict(bounces=2, quirk_nan_tir=True),
+                 marks=pytest.mark.slow),
 ])
 def test_bwd_kernel_matches_jnp_replay(kw):
-    cfg = rt.RenderConfig(width=128, height=16, aa_x=2, aa_y=2,
+    cfg = rt.RenderConfig(width=128, height=8, aa_x=2, aa_y=2,
                           shadow_samples=4, **kw)
     scene = rt.cornell_box()
     img, _, res = render_fused_res(scene, cfg, interpret=True)
@@ -68,10 +71,10 @@ def test_bwd_kernel_matches_jnp_replay(kw):
 def test_bwd_kernel_row_band():
     """The dp-sharded row-band launch: gradient of rows [row0, row0+rows)
     equals the jnp replay restricted to the same band."""
-    cfg = rt.RenderConfig(width=128, height=32, aa_x=1, aa_y=2,
+    cfg = rt.RenderConfig(width=128, height=16, aa_x=1, aa_y=2,
                           shadow_samples=2, bounces=1)
     scene = rt.cornell_box()
-    row0, rows = 8, 16
+    row0, rows = 8, 8
     img, _, res = render_fused_res(scene, cfg, interpret=True,
                                    row0=row0, rows=rows)
     g = jax.random.normal(jax.random.PRNGKey(1), img.shape, jnp.float32)
@@ -101,6 +104,7 @@ def test_streamed_bwd_kernel_matches_jnp_replay():
     _assert_leafwise(ref, got, 1e-4)
 
 
+@pytest.mark.slow
 def test_bwd_kernel_primal_matches_replay():
     """The kernel's replayed radiance (the vjp primal) equals
     replay_forward — the two implementations compute the same function."""

@@ -55,13 +55,15 @@ def test_sweep(tmp_path, capsys):
 
 
 def test_fit_reduces_loss(capsys):
-    main(["fit", "--width", "32", "--height", "16", "--steps", "6",
+    main(["fit", "--width", "32", "--height", "16", "--steps", "8",
           "--lr", "0.5"])
     out = capsys.readouterr().out
-    losses = [float(line.split("loss")[1].split()[0])
-              for line in out.splitlines() if "loss" in line]
-    assert len(losses) >= 2
-    assert losses[-1] < losses[0]
+    # each recovery round prints "... loss <start> -> <end>"
+    rounds = [line.split("loss")[1] for line in out.splitlines()
+              if "]" in line and "loss" in line and "->" in line]
+    assert len(rounds) == 2
+    start, end = (float(rounds[0].split("->")[i]) for i in (0, 1))
+    assert end < start
 
 
 def test_render_with_obj(tmp_path):

@@ -165,6 +165,50 @@ def test_train_step_reduces_loss(scene):
     assert float(s.light_pos[0]) > 0.02
 
 
+def test_fit_recovers_multi_parameter_scene(scene):
+    """BASELINE config-5 fit: per-leaf Adam recovers all three parameter
+    types through the sharded renderer — light position + a wall color
+    jointly, and a vertex perturbation (back wall moved along z, a
+    shading-coupled change the interior gradient identifies).
+
+    The limits are deliberate and documented: pure silhouette moves (e.g. a
+    block slide) are invisible to frozen-visibility gradients (SURVEY.md
+    §7), and a one-image joint fit of color AND geometry of the same
+    surface is degenerate (either explains the brightness residual), so
+    geometry is recovered in its own fit."""
+    from uob_raytracer_tpu.parallel import fit
+    cfg = RenderConfig(width=48, height=48, aa_x=1, aa_y=1,
+                       shadow_samples=2, bounces=0)
+    mesh = make_mesh(dp=8, tp=1)
+
+    # --- light position + left-wall color, jointly ---
+    t1 = dataclasses.replace(
+        scene,
+        light_pos=jnp.array([0.25, -0.5, -0.7]),
+        tri_rgb=scene.tri_rgb.at[2:4].set(jnp.float32([0.9, 0.5, 0.2])))
+    target1 = render_image_sharded(t1, cfg, mesh)
+    f1, losses1 = fit(scene, target1, cfg, mesh, steps=40,
+                      lrs={"light_pos": 2e-2, "tri_rgb": 2e-2})
+    assert losses1[-1] < 0.35 * losses1[0], losses1[::10]
+    assert float(f1.light_pos[0]) > 0.1               # from 0.0 toward 0.25
+    d0 = float(jnp.abs(scene.tri_rgb[2] - t1.tri_rgb[2]).sum())
+    d1 = float(jnp.abs(f1.tri_rgb[2] - t1.tri_rgb[2]).sum())
+    assert d1 < 0.3 * d0
+
+    # --- back-wall z shift (vertex recovery) ---
+    dv = jnp.zeros_like(scene.tri_v0).at[8:10].add(
+        jnp.float32([0.0, 0.0, 0.15]))
+    t2 = dataclasses.replace(scene, tri_v0=scene.tri_v0 + dv,
+                             tri_v1=scene.tri_v1 + dv,
+                             tri_v2=scene.tri_v2 + dv)
+    target2 = render_image_sharded(t2, cfg, mesh)
+    f2, losses2 = fit(scene, target2, cfg, mesh, steps=60,
+                      lrs={"tri_v0": 5e-3, "tri_v1": 5e-3, "tri_v2": 5e-3})
+    assert losses2[-1] < 0.35 * losses2[0], losses2[::10]
+    dz = float((f2.tri_v0[8:10, 2] - scene.tri_v0[8:10, 2]).mean())
+    assert dz > 0.05                                  # toward +0.15
+
+
 def test_multihost_single_process_noop(monkeypatch):
     from uob_raytracer_tpu.parallel import initialize_multihost
     monkeypatch.delenv("RAYTPU_COORDINATOR", raising=False)

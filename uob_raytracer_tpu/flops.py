@@ -73,6 +73,82 @@ def forward_ops(cfg: RenderConfig, n_tri: int, n_sph: int,
     }
 
 
+def measure_vpu_peak(iters: int = 20) -> dict:
+    """Empirical VPU f32 ceilings of this chip, in vector ops/s (FMA = 1 op).
+
+    Pallas kernels of K=16 *independent* chained ops per element on
+    VMEM-resident (8,128) tiles — enough ILP to cover the op latency (a
+    single dependent chain measures latency, ~5x lower) — measured with the
+    same slope-timed chained harness as bench.time_scalar_fn so tunneled
+    host-fetch latency cancels. Returns {"fma": ops/s, "add": ops/s}; on a
+    v5e these land ~2.2e12 and ~2.8e12. A mixed-op stream (the ray tracer's
+    mul/cmp/select/add blend) can exceed single-op-type chains when the VPU
+    co-issues across functional units, so counted-ops rates above these
+    ceilings mean issue-bound, not a measurement error."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    H = W = 512
+    INNER, K = 500, 16
+
+    def make_kernel(fma: bool):
+        def kernel(x_ref, o_ref):
+            x = x_ref[...]
+            accs = [x * np.float32(1.0 + 1e-7 * k) for k in range(K)]
+
+            def body(i, accs):
+                if fma:
+                    return tuple(a * x + np.float32(1e-7) for a in accs)
+                return tuple(a + x for a in accs)
+
+            accs = jax.lax.fori_loop(0, INNER, body, tuple(accs))
+            out = accs[0]
+            for a in accs[1:]:
+                out = out + a
+            o_ref[...] = out
+        return kernel
+
+    def rate(fma: bool) -> float:
+        kernel = make_kernel(fma)
+
+        def run(x):
+            return pl.pallas_call(
+                kernel,
+                grid=(H // 8, W // 128),
+                in_specs=[pl.BlockSpec((8, 128), lambda i, j: (i, j))],
+                out_specs=pl.BlockSpec((8, 128), lambda i, j: (i, j)),
+                out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+            )(x)
+
+        def chain(n):
+            @jax.jit
+            def f(x):
+                def body(i, x):
+                    return run(x) * np.float32(1e-9) + x * np.float32(0.5)
+                return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+            return f
+
+        x = jnp.full((H, W), np.float32(0.001 if not fma else 0.99999))
+        f1, f2 = chain(iters), chain(2 * iters)
+
+        def best(f):
+            float(f(x))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(f(x))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        dt = max(best(f2) - best(f1), 1e-9) / iters
+        return H * W * INNER * K / dt
+
+    return {"fma": rate(True), "add": rate(False)}
+
+
 def bounce_tile_fracs_from_residuals(res, bounces: int):
     """Exact per-step active-tile fractions from recorded bounce ids: a tile
     executes bounce step b iff any of its lanes is active there."""

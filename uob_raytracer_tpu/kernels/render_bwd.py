@@ -36,9 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 from ..scene import Scene
-from .render_fwd import (STREAM_BLK, STREAM_COLS, TILE_H, TILE_W, _add,
-                         _dot, _round_up, _scale, _smem_tri_scan,
-                         _streamed_tri_scan, _sub, _use_streamed, _where3,
+from .render_fwd import (STREAM_BLK, STREAM_COLS, TILE_H, TILE_W,
+                         UNROLL_TRIANGLES, _add, _dot, _round_up, _scale,
+                         _smem_tri_scan, _streamed_tri_scan, _sub,
+                         _unrolled_tri_scan, _use_streamed, _where3,
                          pack_scene)
 
 _F = np.float32
@@ -278,7 +279,8 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
     else:
         dtri_ref, dsph_ref, dcam_ref, img_ref = refs
         dlane_ref = None
-        tri_scan = _smem_tri_scan(tri_ref, n_tri)
+        tri_scan = (_unrolled_tri_scan if n_tri <= UNROLL_TRIANGLES
+                    else _smem_tri_scan)(tri_ref, n_tri)
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -375,23 +377,28 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
             for c in range(16):
                 dlane_ref[site * 16 + c] = dflat[c]
     else:
-        # Triangle cotangents: per-object masked sums into the SMEM table —
-        # a fori_loop with dynamic SMEM accumulates (compile time O(1) in
-        # scene size); the pl.when gate skips the 15 tile reductions for
-        # every object no ray of this tile hit, and each tile touches only
-        # a handful of objects, so the loop is mostly the cheap any() test.
+        # Triangle cotangents: per-object masked sums into the SMEM table.
+        # The pl.when gate skips the 15 tile reductions for every object no
+        # ray of this tile hit — each tile touches only a handful of
+        # objects, so the loop is mostly the cheap any() test. Small scenes
+        # unroll (static SMEM offsets); larger SMEM scenes run a fori_loop
+        # with dynamic accumulates so compile time stays O(1).
         def scatter_tri(site, dflat, ids):
-            def body(o, _):
-                m = ids == o
-
+            def one(o, m):
                 @pl.when(jnp.any(m))
                 def _():
                     mf = m.astype(_F)
                     for c in range(15):  # v0,e1,e2,n,rgb -> cols 0..14
                         dtri_ref[o, c] += jnp.sum(mf * dflat[c])
-                return 0
 
-            jax.lax.fori_loop(0, n_tri, body, 0)
+            if n_tri <= UNROLL_TRIANGLES:
+                for o in range(n_tri):
+                    one(o, ids == o)
+            else:
+                def body(o, _):
+                    one(o, ids == o)
+                    return 0
+                jax.lax.fori_loop(0, n_tri, body, 0)
 
     if streamed:
         scatter_tri(0, dprim)

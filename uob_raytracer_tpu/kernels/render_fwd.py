@@ -176,10 +176,35 @@ def _smem_tri_scan(tri_ref, n_tri: int):
     return scan
 
 
+# Below this triangle count, per-object loops unroll at trace time (static
+# SMEM offsets, no loop-carry overhead — measurably faster on the Cornell
+# scenes); above it they run as fori_loops with dynamic SMEM indexing so
+# compile time stays O(1) in scene size.
+UNROLL_TRIANGLES = 64
+
+
+def _unrolled_tri_scan(tri_ref, n_tri: int):
+    """Same interface as _smem_tri_scan, unrolled at trace time."""
+    def scan(body, carry):
+        for i in range(n_tri):
+            carry = body(lambda col, i=i: tri_ref[i, col], _F(i), carry)
+        return carry
+    return scan
+
+
 # Streamed-kernel DMA block: rows per SMEM-resident triangle block. The
 # table is padded to STREAM_COLS columns so HBM row slices are lane-tile
 # aligned (Mosaic requires minor-dim slices in multiples of 128); the double
 # buffer costs 2 * STREAM_BLK * STREAM_COLS * 4 B of SMEM (64 KiB at 64).
+#
+# Traffic note: the 19 -> 128 column pad inflates the streamed table ~6.7x,
+# and every pixel tile re-streams the full table once per scan site
+# (primary + each live bounce step + the shadow pass), so HBM reads scale
+# as tiles x sites x 6.7 x table bytes. At 8k triangles / 128^2 px that is
+# ~1.3 GB/frame — still far below the compute time's bandwidth budget
+# (measured: the 8k-triangle frame is VPU-bound, not DMA-bound), so the pad
+# is kept for its alignment simplicity. If DMA ever binds, pack 6 triangles
+# per 128-lane row (6x19=114 cols) and unpack in SMEM.
 STREAM_BLK = 64
 STREAM_COLS = 128
 
@@ -379,19 +404,18 @@ def _nearest_hit_primary(tri_ref, sph_ref, n_tri, n_sph, cam, d):
     zero = jnp.zeros(shape)
     pos = _where3(hit, pos, (zero, zero, zero))
 
-    def gather_body(i, carry):
+    def gather_body(get, gi, carry):
         nx, ny, nz, cr, cg, cb, mat = carry
-        m = idf == i.astype(_F)
-        return (jnp.where(m, tri_ref[i, 9], nx),
-                jnp.where(m, tri_ref[i, 10], ny),
-                jnp.where(m, tri_ref[i, 11], nz),
-                jnp.where(m, tri_ref[i, 12], cr),
-                jnp.where(m, tri_ref[i, 13], cg),
-                jnp.where(m, tri_ref[i, 14], cb),
-                jnp.where(m, tri_ref[i, 15], mat))
+        m = idf == gi
+        return (jnp.where(m, get(9), nx), jnp.where(m, get(10), ny),
+                jnp.where(m, get(11), nz), jnp.where(m, get(12), cr),
+                jnp.where(m, get(13), cg), jnp.where(m, get(14), cb),
+                jnp.where(m, get(15), mat))
 
-    nx, ny, nz, cr, cg, cb, mat = jax.lax.fori_loop(
-        0, n_tri, gather_body,
+    scan = (_unrolled_tri_scan if n_tri <= UNROLL_TRIANGLES
+            else _smem_tri_scan)(tri_ref, n_tri)
+    nx, ny, nz, cr, cg, cb, mat = scan(
+        gather_body,
         (zero, zero, zero, zero, zero, zero, jnp.ones(shape)))
     nrm = (nx, ny, nz)
     rgb = (cr, cg, cb)

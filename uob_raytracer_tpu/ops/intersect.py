@@ -27,12 +27,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..scene import Scene
 from .math3 import det3, dot3, normalize3
 
-_INF = jnp.float32(jnp.inf)
-_IMAX = jnp.int32(2**31 - 1)
+# np scalars, not jnp: module-level jnp scalars commit a device array at
+# import time, which initializes the XLA backend and breaks anything that
+# must run first (jax.distributed.initialize in multi-host workers).
+_INF = np.float32(np.inf)
+_IMAX = np.int32(2**31 - 1)
 
 
 class DeviceScene(NamedTuple):
@@ -55,7 +59,7 @@ class DeviceScene(NamedTuple):
     indirect: jnp.ndarray
     camera_pos: jnp.ndarray
     # Global index of this shard's first triangle (0 unless triangle-sharded).
-    tri_offset: jnp.ndarray = jnp.int32(0)
+    tri_offset: jnp.ndarray | int = 0
 
     @property
     def num_spheres(self) -> int:

@@ -9,8 +9,10 @@ stream bit-for-bit so soft-shadow images match the oracle exactly.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_UINT_MAX_F = jnp.float32(4294967295.0)  # rounds to 2^32 in f32, as in OpenCL
+# np scalar (not jnp): avoid backend init at import (see ops/intersect.py)
+_UINT_MAX_F = np.float32(4294967295.0)  # rounds to 2^32 in f32, as in OpenCL
 
 
 def xorshift(state):

@@ -13,13 +13,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import RenderConfig
 from .intersect import DeviceScene, Hit, intersect, in_shadow, _tri_tuv
 from .math3 import dot3, normalize3
 from .rng import crush, shadow_seed, xorshift
 
-_PI4 = jnp.float32(4.0 * 3.14159265358979323846)
+# np scalar (not jnp): avoid backend init at import (see ops/intersect.py)
+_PI4 = np.float32(4.0 * 3.14159265358979323846)
 
 
 def direct_light(ds: DeviceScene, cfg: RenderConfig, pos, normal, gid,
