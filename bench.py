@@ -208,7 +208,8 @@ def bench_roofline(scene, iters: int) -> dict:
     ops = forward_ops(cfg, scene.tri_v0.shape[0],
                       scene.sph_center.shape[0], fracs)
     dt = time_scalar_fn(_fwd_scalar(cfg, "pallas"), scene, iters)
-    peak = measure_vpu_peak()
+    peaks = measure_vpu_peak()
+    peak = max(peaks.values())
     util = ops["total"] / dt / peak
     out = {
         "ops_per_frame": ops["total"],
@@ -216,13 +217,15 @@ def bench_roofline(scene, iters: int) -> dict:
         "bounce_tile_fracs": [round(f, 4) for f in fracs],
         "frame_ms": round(dt * 1e3, 3),
         "achieved_ops_s": round(ops["total"] / dt),
-        "vpu_peak_ops_s": round(peak),
-        "vpu_utilization": round(util, 4),
+        "vpu_peak_ops_s": {k: round(v) for k, v in peaks.items()},
+        "vpu_utilization_vs_best_chain": round(util, 4),
     }
     print(f"# roofline: {ops['total']/1e9:.2f} G vector-ops/frame "
           f"(per-lane {ops['per_lane']}), frame {dt*1e3:.2f} ms -> "
-          f"{ops['total']/dt/1e12:.2f} T ops/s vs measured VPU ceiling "
-          f"{peak/1e12:.2f} T ops/s = {util:.1%} utilization",
+          f"{ops['total']/dt/1e12:.2f} T ops/s vs measured VPU ceilings "
+          f"fma {peaks['fma']/1e12:.2f} / add {peaks['add']/1e12:.2f} "
+          f"T ops/s = {util:.1%} of the best single-op chain "
+          f"(>100% = VPU co-issue across units; issue-bound)",
           file=sys.stderr)
     return out
 
@@ -268,8 +271,8 @@ def main() -> None:
         res = bench_roofline(scene, args.iters)
         print(json.dumps({
             "metric": "VPU utilization (fused fwd kernel, 512^2 aa4 s10 b1)",
-            "value": res["vpu_utilization"], "unit": "fraction",
-            "vs_baseline": res["vpu_utilization"],
+            "value": res["vpu_utilization_vs_best_chain"], "unit": "fraction",
+            "vs_baseline": res["vpu_utilization_vs_best_chain"],
             "roofline": res}))
         return
 

@@ -81,7 +81,7 @@ class _Row:
                     self.mat, self.is_sph, self.valid)
 
 
-def _gather_row(tri_scan, sph_ref, n_tri: int, n_sph: int, ids):
+def _gather_row(tri_scan, sph_ref, n_tri: int, n_sph: int, ids, live=None):
     """Select-accumulate the row of the object each lane hit (id encoding as
     ops/replay.py: 0..T-1 triangle, T+s sphere, -1 miss).
 
@@ -89,7 +89,12 @@ def _gather_row(tri_scan, sph_ref, n_tri: int, n_sph: int, ids):
     ``_smem_tri_scan`` for whole-table scenes, ``_streamed_tri_scan`` for
     HBM-resident tables) — a runtime loop with dynamic indexing, so
     trace/compile time is O(1) in the triangle count (the Python unroll it
-    replaces was ~16 masked selects *per triangle*)."""
+    replaces was ~16 masked selects *per triangle*).
+
+    live: optional scalar bool — when False the whole tile recorded misses
+    at this site and the table scan is skipped (every lane gets the miss
+    row). The bounce-site analogue of the forward kernel's per-tile
+    early exit."""
     shape = ids.shape
     zero = jnp.zeros(shape, _F)
     # Triangle-lane ids as f32 (exact below 2^24), non-triangle lanes mapped
@@ -104,7 +109,11 @@ def _gather_row(tri_scan, sph_ref, n_tri: int, n_sph: int, ids):
         return new + (jnp.where(m, get(15), carry[15]),)
 
     init = (zero,) * 15 + (jnp.ones(shape, _F),)  # miss row: mat=1
-    flat = tri_scan(body, init)
+    if live is None:
+        flat = tri_scan(body, init)
+    else:
+        flat = jax.lax.cond(live, lambda: tri_scan(body, init),
+                            lambda: init)
     v0, e1, e2 = tuple(flat[0:3]), tuple(flat[3:6]), tuple(flat[6:9])
     n, rgb, mat = tuple(flat[9:12]), tuple(flat[12:15]), flat[15]
     r2 = zero
@@ -164,11 +173,142 @@ def _hit_from_row(row: _Row, start, d):
     return pos, normal, rgb, row.mat, vz
 
 
+def _bounce_step(cfg: RenderConfig, row_b: _Row, carry):
+    """One replayed bounce step (carry → carry). Bool masks ride the carry
+    as f32 0/1 flags — Mosaic cannot select/carry i1 vectors through scf
+    control flow, and when the step is gated (``_gated_bounce``) the carry
+    crosses an ``scf.if`` boundary."""
+    (cur_d, cur_pos, cur_nrm, cur_mat, medium, active_f,
+     term_valid_f, term_pos, term_nrm, term_rgb, weight) = carry
+    active = active_f > 0
+    term_valid = term_valid_f > 0
+    dn = _dot(cur_d, cur_nrm)
+    refl = _sub(cur_d, _scale(_F(2.0) * dn, cur_nrm))
+    c1 = dn
+    nflip = _where3(c1 < 0, _scale(_F(-1.0), cur_nrm), cur_nrm)
+    c1a = jnp.abs(c1)
+    in_air = medium == _F(cfg.ior_air)
+    n1 = jnp.where(in_air, _F(cfg.ior_air), _F(cfg.ior_glass))
+    n2 = jnp.where(in_air, _F(cfg.ior_glass), _F(cfg.ior_air))
+    nr = n1 / n2
+    k = _F(1.0) - nr * nr * (_F(1.0) - c1a * c1a)
+    tir = k < 0
+    c2 = jnp.sqrt(jnp.where(tir, _F(1.0), k))
+    refr = _add(_scale(nr, cur_d),
+                _scale(nr * c1a - c2, _scale(_F(-1.0), nflip)))
+    is_mirror = cur_mat == 0
+    if cfg.quirk_nan_tir:
+        dead = tir & ~is_mirror
+        use_refl = is_mirror
+    else:
+        dead = jnp.zeros_like(tir)
+        use_refl = is_mirror | tir
+    ndir = _where3(use_refl, refl, refr)
+    nmed = jnp.where(use_refl, _F(cfg.ior_air), n2)
+    nstart = _add(cur_pos, _scale(_F(cfg.bias), ndir))
+    alive = active & ~dead
+    nd2 = jnp.maximum(_dot(ndir, ndir), _F(1e-30))
+    inv = _F(1.0) / jnp.sqrt(nd2)
+    ndir = _scale(inv, ndir)
+    if cfg.fresnel:
+        r0f = jnp.square((n1 - n2) / (n1 + n2))
+        refl_w = r0f + (1 - r0f) * (1 - c1a) ** 5
+        w_step = jnp.where(use_refl, _F(1.0), _F(1.0) - refl_w)
+        weight = jnp.where(alive, weight * w_step, weight)
+
+    h_pos, h_nrm, h_rgb, h_mat, h_valid = _hit_from_row(
+        row_b, nstart, ndir)
+    h_valid = h_valid & alive
+    diffuse = h_valid & (h_mat > 0)
+    term_valid = term_valid | diffuse
+    term_pos = _where3(diffuse, h_pos, term_pos)
+    term_nrm = _where3(diffuse, h_nrm, term_nrm)
+    term_rgb = _where3(diffuse, h_rgb, term_rgb)
+    cont = h_valid & (h_mat <= 0)
+    cur_d = _where3(cont, ndir, cur_d)
+    cur_pos = _where3(cont, h_pos, cur_pos)
+    cur_nrm = _where3(cont, h_nrm, cur_nrm)
+    cur_mat = jnp.where(cont, h_mat, cur_mat)
+    medium = jnp.where(cont, nmed, medium)
+    return (cur_d, cur_pos, cur_nrm, cur_mat, medium,
+            jnp.where(cont, _F(1.0), _F(0.0)),
+            jnp.where(term_valid, _F(1.0), _F(0.0)),
+            term_pos, term_nrm, term_rgb, weight)
+
+
+def _row_pack(row: _Row):
+    """_Row → all-f32 pytree (custom_vjp inputs must not be bool: bool
+    cotangents are float0, which has no in-kernel representation)."""
+    one = lambda m: jnp.where(m, _F(1.0), _F(0.0))
+    return (row.diff_inputs(), row.mat, one(row.is_sph), one(row.valid))
+
+
+def _row_unpack(rowp) -> _Row:
+    diff, mat, isf, vaf = rowp
+    return _Row(tuple(diff[0:3]), tuple(diff[3:6]), tuple(diff[6:9]),
+                tuple(diff[9:12]), tuple(diff[12:15]), diff[15],
+                mat, isf > 0, vaf > 0)
+
+
+def _gated_bounce(cfg: RenderConfig):
+    """Per-tile-gated bounce step with a hand-written VJP.
+
+    The obvious ``lax.cond(live, step, identity)`` under ``jax.vjp`` does
+    not lower on TPU: partial-eval residualizes the step's bool masks as
+    cond outputs, and Mosaic cannot yield i1 vectors from an scf.if (nor
+    does it lower ``remat2``, ruling out jax.checkpoint). This custom_vjp
+    keeps every bool inside a branch body: the primal cond yields only the
+    f32 carry, and the backward cond's live branch *recomputes* the step
+    forward and transposes it in place (rematerialization by hand). The
+    dead branch is the identity transpose: dcarry = g, drow = 0."""
+
+    @jax.custom_vjp
+    def gated(livef, rowp, carry):
+        return jax.lax.cond(
+            livef > 0,
+            lambda c: _bounce_step(cfg, _row_unpack(rowp), c),
+            lambda c: c, carry)
+
+    def fwd(livef, rowp, carry):
+        return gated(livef, rowp, carry), (livef, rowp, carry)
+
+    def bwd(saved, g):
+        livef, rowp, carry = saved
+        diff, mat, isf, vaf = rowp
+
+        def live_fn():
+            def h(dd, cc):
+                return _bounce_step(cfg, _row_unpack((dd, mat, isf, vaf)),
+                                    cc)
+            _, vjp = jax.vjp(h, diff, carry)
+            return vjp(g)
+
+        def dead_fn():
+            return (jax.tree_util.tree_map(jnp.zeros_like, diff), g)
+
+        ddiff, dcarry = jax.lax.cond(livef > 0, live_fn, dead_fn)
+        drowp = (ddiff, jnp.zeros_like(mat), jnp.zeros_like(isf),
+                 jnp.zeros_like(vaf))
+        return (jnp.zeros_like(livef), drowp, dcarry)
+
+    gated.defvjp(fwd, bwd)
+    return gated
+
+
 def _replay_tile(cfg: RenderConfig, cam_vals, prim: _Row, bnc: list[_Row],
-                 d, start, lit):
+                 d, start, lit, lives=None):
     """Tile radiance from recorded decisions — ops/replay.py:replay_forward
     from the primary intersection onward (ray gen happens in the caller so
-    camera gradients flow through cam_vals)."""
+    camera gradients flow through cam_vals).
+
+    lives: optional per-bounce-step scalar bools (any lane live at step b,
+    from the recorded ids). A dead step is skipped via ``_gated_bounce`` —
+    exact, because recorded ids are monotone-dead (once every lane of the
+    tile misses at step b, every later step records misses too, so the
+    skipped state updates are unobservable) and the gate routes zero
+    cotangents to the dead step's gathered rows. This is the backward
+    analogue of the forward kernel's per-tile bounce early exit: most
+    Cornell tiles are diffuse-only, so steps 1..B-1 cost one scalar test."""
     pos, normal, rgb, mat, valid = _hit_from_row(prim, start, d)
     prim_diffuse = valid & (mat > 0)
     shape = d[0].shape
@@ -178,59 +318,20 @@ def _replay_tile(cfg: RenderConfig, cam_vals, prim: _Row, bnc: list[_Row],
     term_pos = term_nrm = term_rgb = (zero, zero, zero)
     weight = jnp.ones(shape, _F)
     if cfg.bounces > 0:
-        cur_d, cur_pos, cur_nrm, cur_mat = d, pos, normal, mat
-        medium = jnp.full(shape, _F(cfg.ior_air))
-        active = valid & (mat <= 0)
+        carry = (d, pos, normal, mat, jnp.full(shape, _F(cfg.ior_air)),
+                 jnp.where(valid & (mat <= 0), _F(1.0), _F(0.0)),
+                 jnp.zeros(shape, _F), term_pos, term_nrm,
+                 term_rgb, weight)
+        gated = _gated_bounce(cfg) if lives is not None else None
         for b in range(cfg.bounces):
-            dn = _dot(cur_d, cur_nrm)
-            refl = _sub(cur_d, _scale(_F(2.0) * dn, cur_nrm))
-            c1 = dn
-            nflip = _where3(c1 < 0, _scale(_F(-1.0), cur_nrm), cur_nrm)
-            c1a = jnp.abs(c1)
-            in_air = medium == _F(cfg.ior_air)
-            n1 = jnp.where(in_air, _F(cfg.ior_air), _F(cfg.ior_glass))
-            n2 = jnp.where(in_air, _F(cfg.ior_glass), _F(cfg.ior_air))
-            nr = n1 / n2
-            k = _F(1.0) - nr * nr * (_F(1.0) - c1a * c1a)
-            tir = k < 0
-            c2 = jnp.sqrt(jnp.where(tir, _F(1.0), k))
-            refr = _add(_scale(nr, cur_d),
-                        _scale(nr * c1a - c2, _scale(_F(-1.0), nflip)))
-            is_mirror = cur_mat == 0
-            if cfg.quirk_nan_tir:
-                dead = tir & ~is_mirror
-                use_refl = is_mirror
+            if lives is None:
+                carry = _bounce_step(cfg, bnc[b], carry)
             else:
-                dead = jnp.zeros_like(tir)
-                use_refl = is_mirror | tir
-            ndir = _where3(use_refl, refl, refr)
-            nmed = jnp.where(use_refl, _F(cfg.ior_air), n2)
-            nstart = _add(cur_pos, _scale(_F(cfg.bias), ndir))
-            alive = active & ~dead
-            nd2 = jnp.maximum(_dot(ndir, ndir), _F(1e-30))
-            inv = _F(1.0) / jnp.sqrt(nd2)
-            ndir = _scale(inv, ndir)
-            if cfg.fresnel:
-                r0f = jnp.square((n1 - n2) / (n1 + n2))
-                refl_w = r0f + (1 - r0f) * (1 - c1a) ** 5
-                w_step = jnp.where(use_refl, _F(1.0), _F(1.0) - refl_w)
-                weight = jnp.where(alive, weight * w_step, weight)
-
-            h_pos, h_nrm, h_rgb, h_mat, h_valid = _hit_from_row(
-                bnc[b], nstart, ndir)
-            h_valid = h_valid & alive
-            diffuse = h_valid & (h_mat > 0)
-            term_valid = term_valid | diffuse
-            term_pos = _where3(diffuse, h_pos, term_pos)
-            term_nrm = _where3(diffuse, h_nrm, term_nrm)
-            term_rgb = _where3(diffuse, h_rgb, term_rgb)
-            cont = h_valid & (h_mat <= 0)
-            cur_d = _where3(cont, ndir, cur_d)
-            cur_pos = _where3(cont, h_pos, cur_pos)
-            cur_nrm = _where3(cont, h_nrm, cur_nrm)
-            cur_mat = jnp.where(cont, h_mat, cur_mat)
-            medium = jnp.where(cont, nmed, medium)
-            active = cont
+                livef = jnp.where(lives[b], _F(1.0), _F(0.0))
+                carry = gated(livef, _row_pack(bnc[b]), carry)
+        (_, _, _, _, _, _, term_valid_f, term_pos, term_nrm, term_rgb,
+         weight) = carry
+        term_valid = term_valid_f > 0
 
     light = (cam_vals[12], cam_vals[13], cam_vals[14])
     light_rgb = (cam_vals[15], cam_vals[16], cam_vals[17])
@@ -309,13 +410,19 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
     g = (g_ref[0], g_ref[1], g_ref[2])
 
     # --- gathers (non-differentiable) ---
+    # Bounce sites are gated on per-tile liveness (any recorded hit): dead
+    # sites skip both the table scan here and the replay step (+ its vjp)
+    # inside f below — the backward twin of the forward's tile early exit.
     prim = _gather_row(tri_scan, sph_ref, n_tri, n_sph, pid)
-    bnc, bids = [], []
+    bnc, bids, lives = [], [], []
     if cfg.bounces > 0:
         for b in range(cfg.bounces):
             ids_b = bid_ref[b]
+            live_b = jnp.max(ids_b) >= 0
             bids.append(ids_b)
-            bnc.append(_gather_row(tri_scan, sph_ref, n_tri, n_sph, ids_b))
+            lives.append(live_b)
+            bnc.append(_gather_row(tri_scan, sph_ref, n_tri, n_sph, ids_b,
+                                   live=live_b))
 
     # --- non-differentiable ray-gen pieces (pixel coordinates) ---
     ys = (off_ref[0] + i * TILE_H
@@ -345,7 +452,8 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
                                        shape) for c in range(3))
         prim_row = prim.with_diff(prim_in)
         bnc_rows = [bnc[b].with_diff(bnc_in[b]) for b in range(len(bnc))]
-        return _replay_tile(cfg, cam_in, prim_row, bnc_rows, d, start, lit)
+        return _replay_tile(cfg, cam_in, prim_row, bnc_rows, d, start, lit,
+                            lives=lives)
 
     primal, vjp = jax.vjp(f, cam_vals, prim.diff_inputs(),
                           tuple(r.diff_inputs() for r in bnc))
@@ -406,7 +514,7 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         for b in range(len(bnc)):
             scatter_tri(1 + b, dbnc[b])
 
-            @pl.when(jnp.max(bids[b]) >= 0)
+            @pl.when(lives[b])
             def _(b=b):
                 scatter_sph(bids[b], dbnc[b])
     else:
@@ -414,7 +522,7 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         scatter_sph(pid, dprim)
         for b in range(len(bnc)):
             # most tiles exit the bounce loop at once — skip their scatter
-            @pl.when(jnp.max(bids[b]) >= 0)
+            @pl.when(lives[b])
             def _(b=b):
                 scatter_tri(1 + b, dbnc[b], bids[b])
                 scatter_sph(bids[b], dbnc[b])
