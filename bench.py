@@ -119,17 +119,28 @@ def time_scalar_fn(scalar_fn, scene, iters: int) -> float:
     return max(t2 - t1, 1e-9) / iters
 
 
-def _fwd_scalar(cfg, backend):
-    return lambda s: jnp.mean(render_image(s, cfg, backend=backend))
+def _quads_for(scene, backend):
+    """Quad-merged occlusion pairing (production default on the pallas
+    path: halves the shadow scan on Cornell — see ops/quads.py)."""
+    if backend == "jnp":
+        return None
+    from uob_raytracer_tpu.ops.quads import detect_shadow_quads
+    return detect_shadow_quads(scene)
 
 
-def _step_scalar(cfg, backend):
+def _fwd_scalar(cfg, backend, quads=None):
+    return lambda s: jnp.mean(render_image(s, cfg, backend=backend,
+                                           shadow_quads=quads))
+
+
+def _step_scalar(cfg, backend, quads=None):
     """Forward+backward: gradient of a scalar image loss w.r.t. every scene
     parameter (vertices, colors, light, camera); a bit of every gradient
     leaf is folded into the timed scalar so the whole backward stays live."""
     def loss_grad(s):
         v, g = jax.value_and_grad(
-            lambda ss: jnp.mean(render_image(ss, cfg, backend=backend)))(s)
+            lambda ss: jnp.mean(render_image(ss, cfg, backend=backend,
+                                             shadow_quads=quads)))(s)
         return v + sum(jnp.sum(x) * 1e-12
                        for x in jax.tree_util.tree_leaves(g))
     return loss_grad
@@ -137,8 +148,9 @@ def _step_scalar(cfg, backend):
 
 def bench_config(name: str, cfg, scene, iters: int, backend: str) -> dict:
     rays = logical_ray_count(scene, cfg)
-    dt_fwd = time_scalar_fn(_fwd_scalar(cfg, backend), scene, iters)
-    dt_step = time_scalar_fn(_step_scalar(cfg, backend), scene,
+    quads = None if cfg.cpu_ref else _quads_for(scene, backend)
+    dt_fwd = time_scalar_fn(_fwd_scalar(cfg, backend, quads), scene, iters)
+    dt_step = time_scalar_fn(_step_scalar(cfg, backend, quads), scene,
                              max(4, iters // 2))
     out = {
         "rays_per_frame": rays,
@@ -295,10 +307,12 @@ def main() -> None:
           f"({cfg.width}x{cfg.height} aa{cfg.aa_rays} "
           f"s{cfg.shadow_samples} b{cfg.bounces})", file=sys.stderr)
 
-    dt_fwd = time_scalar_fn(_fwd_scalar(cfg, args.backend), scene, args.iters)
+    quads = _quads_for(scene, args.backend)
+    dt_fwd = time_scalar_fn(_fwd_scalar(cfg, args.backend, quads), scene,
+                            args.iters)
     print(f"# forward: {dt_fwd*1e3:.2f} ms/frame = {rays/dt_fwd:.3e} rays/s",
           file=sys.stderr)
-    dt_step = time_scalar_fn(_step_scalar(cfg, args.backend), scene,
+    dt_step = time_scalar_fn(_step_scalar(cfg, args.backend, quads), scene,
                              max(5, args.iters // 2))
     print(f"# fwd+bwd: {dt_step*1e3:.2f} ms/step = {rays/dt_step:.3e} rays/s",
           file=sys.stderr)

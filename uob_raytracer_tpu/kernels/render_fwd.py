@@ -192,6 +192,57 @@ def _unrolled_tri_scan(tri_ref, n_tri: int):
     return scan
 
 
+def _smem_scan_range(ref, lo: int, hi: int, unroll: bool):
+    """Row-range scan over an SMEM table (same body interface as
+    ``_smem_tri_scan``) — used for the quads-then-triangles layout of the
+    shadow-geometry table."""
+    def scan(body, carry):
+        if unroll:
+            for i in range(lo, hi):
+                carry = body(lambda col, i=i: ref[i, col], _F(i), carry)
+            return carry
+
+        def wrap(i, c):
+            return body(lambda col: ref[i, col], i.astype(_F), c)
+        return jax.lax.fori_loop(lo, hi, wrap, carry)
+    return scan
+
+
+# Shadow-geometry table (ops/quads.py): parallelogram rows first, leftover
+# triangle rows after. Row: v0 0:3, e1 3:6, e2 6:9, E=cross(e1,e2) 9:12,
+# mat 12 (occlusion only needs the glass flag, kernels.cl:247,279).
+SHD_COLS = 13
+
+
+def pack_shadow(scene: Scene, quads):
+    """Pack the occlusion-scan geometry for a quad pairing from
+    ``ops.quads.detect_shadow_quads``: ``n_quads`` parallelogram rows
+    (spanned from triangle a's off-diagonal corner p by its two shared
+    vertices) followed by the unpaired triangles' rows. Built in the traced
+    graph from the current Scene leaves (pairing indices are static)."""
+    pairs, leftover = quads
+    v = jnp.stack([scene.tri_v0, scene.tri_v1, scene.tri_v2], axis=1)
+    rows = []
+    if pairs:
+        pa = np.array([p[0] for p in pairs])
+        pc = np.array([p[1] for p in pairs])
+        P = v[pa, pc]
+        e1 = v[pa, (pc + 1) % 3] - P
+        e2 = v[pa, (pc + 2) % 3] - P
+        rows.append(jnp.concatenate(
+            [P, e1, e2, jnp.cross(e1, e2), scene.tri_mat[pa][:, None]],
+            axis=1))
+    if leftover:
+        li = np.array(leftover)
+        P = scene.tri_v0[li]
+        e1 = scene.tri_v1[li] - P
+        e2 = scene.tri_v2[li] - P
+        rows.append(jnp.concatenate(
+            [P, e1, e2, jnp.cross(e1, e2), scene.tri_mat[li][:, None]],
+            axis=1))
+    return jnp.concatenate(rows, axis=0).astype(_F)
+
+
 # Streamed-kernel DMA block: rows per SMEM-resident triangle block. The
 # table is padded to STREAM_COLS columns so HBM row slices are lane-tile
 # aligned (Mosaic requires minor-dim slices in multiples of 128); the double
@@ -248,7 +299,8 @@ def _streamed_tri_scan(tri_any, buf, sems, n_rows: int):
 
 
 def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
-               cfg: RenderConfig):
+               cfg: RenderConfig, shd_ref=None, n_quads: int = 0,
+               n_shd: int = 0):
     """Unoccluded-sample count for the soft-shadow pass — the hot loop.
 
     Two restructurings over the naive per-sample scan (identical semantics
@@ -260,7 +312,13 @@ def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
     * the accept test is division-free: t >= 0 becomes t_num*detA >= 0,
       |t d|^2 < r^2 becomes t_num^2 |d|^2 < r^2 detA^2, and u,v,u+v tests
       multiply through by detA — no reciprocal anywhere in the loop.
-    """
+
+    shd_ref/n_quads/n_shd: optional quad-merged shadow-geometry table
+    (``pack_shadow`` / ``ops/quads.py``). Rows [0, n_quads) are
+    parallelograms — the same dot products with independent bounds
+    (0 <= u <= 1, 0 <= v <= 1) — each standing in for two triangles; rows
+    [n_quads, n_shd) are unpaired triangles. Halves the occlusion scan on
+    quad-heavy scenes (every Cornell wall/side face pairs)."""
     shape = sdir[0].shape
     S = cfg.shadow_samples
     # Jittered directions (RNG stream exactly as kernels.cl:331): sample s
@@ -273,33 +331,48 @@ def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
         dirs.append(ds)
         dds.append(_dot(ds, ds))
 
-    def tri_body(get, gi, occs):
-        v0 = (get(0), get(1), get(2))
-        e1 = (get(3), get(4), get(5))
-        e2 = (get(6), get(7), get(8))
-        E = (get(16), get(17), get(18))       # cross(e1, e2), precomputed
-        b = _sub(start, v0)
-        t_num = _dot(b, E)
-        t_num2 = t_num * t_num
-        B2 = _cross(b, e2)
-        B1 = _cross(e1, b)
-        not_glass = get(15) != _F(-1.0)
-        new = []
-        for s in range(S):
-            dA = -_dot(dirs[s], E)
-            u_n = -_dot(dirs[s], B2)
-            v_n = -_dot(dirs[s], B1)
-            dA2 = dA * dA
-            hit = ((t_num * dA >= 0)
-                   & (t_num2 * dds[s] < radius_sq * dA2)
-                   & (u_n * dA >= 0) & (v_n * dA >= 0)
-                   & ((u_n + v_n) * dA <= dA2)
-                   & (dA != 0) & not_glass)
-            new.append(jnp.maximum(occs[s],
-                                   jnp.where(hit, _F(1.0), _F(0.0))))
-        return tuple(new)
+    def occ_body(ecol: int, mcol: int, quad: bool):
+        def body(get, gi, occs):
+            v0 = (get(0), get(1), get(2))
+            e1 = (get(3), get(4), get(5))
+            e2 = (get(6), get(7), get(8))
+            E = (get(ecol), get(ecol + 1), get(ecol + 2))  # cross(e1, e2)
+            b = _sub(start, v0)
+            t_num = _dot(b, E)
+            t_num2 = t_num * t_num
+            B2 = _cross(b, e2)
+            B1 = _cross(e1, b)
+            not_glass = get(mcol) != _F(-1.0)
+            new = []
+            for s in range(S):
+                dA = -_dot(dirs[s], E)
+                u_n = -_dot(dirs[s], B2)
+                v_n = -_dot(dirs[s], B1)
+                dA2 = dA * dA
+                base = ((t_num * dA >= 0)
+                        & (t_num2 * dds[s] < radius_sq * dA2)
+                        & (u_n * dA >= 0) & (v_n * dA >= 0))
+                if quad:
+                    # parallelogram bounds; dA == 0 is rejected by the
+                    # strict t-window test (both sides 0)
+                    inb = (u_n * dA <= dA2) & (v_n * dA <= dA2)
+                else:
+                    inb = ((u_n + v_n) * dA <= dA2) & (dA != 0)
+                hit = base & inb & not_glass
+                new.append(jnp.maximum(occs[s],
+                                       jnp.where(hit, _F(1.0), _F(0.0))))
+            return tuple(new)
+        return body
 
-    occs = tri_scan(tri_body, tuple(jnp.zeros(shape) for _ in range(S)))
+    occs0 = tuple(jnp.zeros(shape) for _ in range(S))
+    if shd_ref is not None:
+        unroll = n_shd <= UNROLL_TRIANGLES
+        occs = _smem_scan_range(shd_ref, 0, n_quads, unroll)(
+            occ_body(9, 12, quad=True), occs0)
+        occs = _smem_scan_range(shd_ref, n_quads, n_shd, unroll)(
+            occ_body(9, 12, quad=False), occs)
+    else:
+        occs = tri_scan(occ_body(16, 15, quad=False), occs0)
     occs = list(occs)
 
     for i in range(n_sph):
@@ -512,10 +585,16 @@ def _nearest_hit(tri_scan, sph_ref, n_tri, n_sph, start, d):
     return t_b, (px, py, pz), (nx, ny, nz), (cr, cg, cb), mat, idf
 
 
-def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, img_ref, packed_ref,
-                   *res_refs, cfg: RenderConfig, n_tri: int, n_sph: int,
+def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
+                   cfg: RenderConfig, n_tri: int, n_sph: int,
                    n_rows: int, streamed: bool = False,
-                   with_residuals: bool = False):
+                   with_residuals: bool = False, n_quads: int = 0,
+                   n_shd: int = 0):
+    if n_shd:
+        shd_ref, *refs = refs
+    else:
+        shd_ref = None
+    img_ref, packed_ref, *res_refs = refs
     if streamed:
         *res_refs, tri_buf, tri_sems = res_refs
         tri_scan = _streamed_tri_scan(tri_ref, tri_buf, tri_sems, n_rows)
@@ -707,7 +786,8 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, img_ref, packed_ref,
                         _f32_to_u32(gf * _F(91.0)),
                         _f32_to_u32(gf * _F(19.0))))
     lit_count = _lit_count(tri_scan, sph_ref, n_sph, sstart, sdir,
-                           state, radius_sq, cfg)
+                           state, radius_sq, cfg, shd_ref=shd_ref,
+                           n_quads=n_quads, n_shd=n_shd)
     if with_residuals:
         lit_ref[...] = lit_count
     dl_scale = lit_count * lam_base / _F(cfg.shadow_samples)
@@ -742,20 +822,23 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, img_ref, packed_ref,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_tri", "n_sph",
                                              "hp", "wp", "rows", "interpret",
-                                             "with_residuals", "streamed"))
+                                             "with_residuals", "streamed",
+                                             "n_quads"))
 def _call_kernel(tri, sph, cam, off, cfg: RenderConfig, n_tri: int,
                  n_sph: int, hp: int, wp: int, rows: int,
                  interpret: bool = False, with_residuals: bool = False,
-                 streamed: bool = False):
+                 streamed: bool = False, shd=None, n_quads: int = 0):
     """Launch over a (hp, wp) padded canvas; the kernel's math uses the
     *logical* cfg dimensions (ray centering, pixel-id RNG seeds), so padded
     lanes render harmless off-screen content that the caller crops."""
     grid = (hp // TILE_H, wp // TILE_W)
     A = cfg.aa_rays
+    n_shd = 0 if shd is None else shd.shape[0]
     kernel = functools.partial(_render_kernel, cfg=cfg, n_tri=n_tri,
                                n_sph=n_sph, n_rows=tri.shape[0],
                                streamed=streamed,
-                               with_residuals=with_residuals)
+                               with_residuals=with_residuals,
+                               n_quads=n_quads, n_shd=n_shd)
     out_specs = [
         pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
                      memory_space=pltpu.VMEM),
@@ -784,26 +867,31 @@ def _call_kernel(tri, sph, cam, off, cfg: RenderConfig, n_tri: int,
                              memory_space=pltpu.VMEM))
             out_shape.append(
                 jax.ShapeDtypeStruct((cfg.bounces, A, hp, wp), jnp.int32))
+    in_specs = [
+        # streamed: the triangle table stays in HBM (ANY would let the
+        # compiler park it in VMEM, whose (1,128) lane tiling cannot be
+        # row-sliced at 19 columns); DMA'd into SMEM scratch in blocks
+        pl.BlockSpec(memory_space=pltpu.HBM) if streamed
+        else pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    inputs = [tri, sph, cam, off]
+    if n_shd:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(shd)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            # streamed: the triangle table stays in HBM (ANY would let the
-            # compiler park it in VMEM, whose (1,128) lane tiling cannot be
-            # row-sliced at 19 columns); DMA'd into SMEM scratch in blocks
-            pl.BlockSpec(memory_space=pltpu.HBM) if streamed
-            else pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=(
             [pltpu.SMEM((2, STREAM_BLK, STREAM_COLS), jnp.float32),
              pltpu.SemaphoreType.DMA((2,))] if streamed else []),
         interpret=interpret,
-    )(tri, sph, cam, off)
+    )(*inputs)
     h, w = rows, cfg.width
     img, packed = outs[0][:, :h, :w], outs[1][:h, :w]
     if not with_residuals:
@@ -827,17 +915,28 @@ def default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pack_quads(scene: Scene, quads, streamed: bool):
+    """(shd table, n_quads) for a static pairing, or (None, 0). Quad-merged
+    occlusion is an SMEM-kernel feature; the streamed kernel keeps the
+    per-triangle scan (large scenes rarely pair, and the table would need
+    its own DMA stream)."""
+    if quads is None or streamed:
+        return None, 0
+    return pack_shadow(scene, quads), len(quads[0])
+
+
 def render_fused_raw(scene: Scene, cfg: RenderConfig,
                      interpret: bool | None = None, row0=None,
-                     rows: int | None = None):
+                     rows: int | None = None, quads=None):
     """Forward render via the fused Pallas kernel.
 
     Returns (image [rows, W, 3] float32, packed [rows, W] uint32). Any image
     size: the launch grid is padded up to the (8, 128) tile and cropped.
     row0/rows render only a row band of the logical cfg-sized image (ray
     centering and pixel-id RNG stay global) — the dp-sharded launch path.
-    Not differentiable directly; render.py wires the path-replay
-    custom_vjp."""
+    quads: optional static pairing from ops.quads.detect_shadow_quads —
+    quad-merged occlusion scan. Not differentiable directly; render.py
+    wires the path-replay custom_vjp."""
     if cfg.cpu_ref:
         raise ValueError("pallas backend does not implement cpu_ref mode")
     if interpret is None:
@@ -850,11 +949,12 @@ def render_fused_raw(scene: Scene, cfg: RenderConfig,
                                pad_rows_to=STREAM_BLK if streamed else 1)
     if streamed:  # lane-tile-aligned rows for the HBM block DMA
         tri = jnp.pad(tri, ((0, 0), (0, STREAM_COLS - tri.shape[1])))
+    shd, n_quads = _pack_quads(scene, quads, streamed)
     n_sph = scene.sph_center.shape[0]
     img, packed = _call_kernel(
         tri, sph, cam, off, cfg, scene.tri_v0.shape[0], n_sph,
         _round_up(rows, TILE_H), _round_up(cfg.width, TILE_W), rows,
-        interpret, streamed=streamed)
+        interpret, streamed=streamed, shd=shd, n_quads=n_quads)
     return jnp.transpose(img, (1, 2, 0)), packed
 
 
@@ -872,7 +972,7 @@ def _use_streamed(scene: Scene) -> bool:
 
 def render_fused_res(scene: Scene, cfg: RenderConfig,
                      interpret: bool | None = None, row0=None,
-                     rows: int | None = None):
+                     rows: int | None = None, quads=None):
     """Forward render that also returns the decision residuals consumed by
     the path-replay backward: (image, packed, Residuals)."""
     from ..ops.replay import Residuals
@@ -888,10 +988,12 @@ def render_fused_res(scene: Scene, cfg: RenderConfig,
                                pad_rows_to=STREAM_BLK if streamed else 1)
     if streamed:  # lane-tile-aligned rows for the HBM block DMA
         tri = jnp.pad(tri, ((0, 0), (0, STREAM_COLS - tri.shape[1])))
+    shd, n_quads = _pack_quads(scene, quads, streamed)
     n_sph = scene.sph_center.shape[0]
     img, packed, pid, lit, bid = _call_kernel(
         tri, sph, cam, off, cfg, scene.tri_v0.shape[0], n_sph,
         _round_up(rows, TILE_H), _round_up(cfg.width, TILE_W), rows,
-        interpret, with_residuals=True, streamed=streamed)
+        interpret, with_residuals=True, streamed=streamed,
+        shd=shd, n_quads=n_quads)
     return (jnp.transpose(img, (1, 2, 0)), packed,
             Residuals(prim_id=pid, lit_cnt=lit, bounce_id=bid))

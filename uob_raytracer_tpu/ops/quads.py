@@ -1,0 +1,95 @@
+"""Shadow-geometry quad merging: pair coplanar triangles into parallelograms
+for the occlusion scan.
+
+The Cornell scene's 26 triangles (``/root/reference/Source/TestModelH.h:87-189``)
+are 13 exact parallelogram halves: every wall and block face is a rectangle
+split along its diagonal. The soft-shadow pass — ~85% of the forward
+kernel's vector ops (see flops.py / BASELINE.md roofline) — only needs a
+boolean "does anything occlude this sample ray", and the union of two
+triangles that tile a parallelogram *is* that parallelogram, tested with
+the same Cramer dot products but with independent bounds (0 <= u <= 1,
+0 <= v <= 1) instead of the triangle's simplex bound (u + v <= 1)
+(``kernels.cl:243-311`` is the per-triangle reference semantics). One quad
+row therefore replaces two triangle rows in the occlusion scan, halving its
+cost on quad-heavy scenes.
+
+Exactness: in real arithmetic the quad test accepts exactly the rays the
+two-triangle union accepts (given the parallelogram closure
+v3 = s1 + s2 - p). In f32 the two formulations can disagree for sample rays
+within rounding distance of the shared diagonal or of the closure residual
+(detection enforces |v3 - (s1+s2-p)| <= tol); those flip at most one of the
+pixel's shadow samples — inside the framework's documented boundary-pixel
+parity budget (PARITY.md). The nearest-hit passes (primary, bounces) keep
+exact per-triangle identity: they need hit indices for the replay backward.
+
+Detection runs on *concrete* scenes (numpy) and returns a hashable static
+structure, so it can ride jit as a static argument. Geometry that is being
+optimized (vertices under jax.grad) should not use stale pairings — the
+traced training paths never auto-detect.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# Pairing: ((tri_a, corner_of_p, tri_b), ...), (leftover_tri_ids, ...)
+ShadowQuads = tuple
+
+
+def detect_shadow_quads(scene, tol: float = 1e-6,
+                        max_triangles: int = 512) -> ShadowQuads | None:
+    """Pair triangles (i, j) that tile a parallelogram and may be merged in
+    the occlusion scan. Returns ``(pairs, leftover)`` where each pair is
+    ``(tri_a, corner, tri_b)`` — the quad is spanned from triangle a's
+    ``corner`` vertex p by its two other vertices — and ``leftover`` lists
+    unpaired triangle ids. None when nothing pairs (or the scene is
+    traced / too large to scan).
+
+    Conditions: the two triangles share exactly two vertices (within tol),
+    the off-diagonal vertices satisfy the parallelogram closure
+    q = s1 + s2 - p (within tol — this also forces coplanarity), and both
+    have the same glass/non-glass status (the occlusion scan skips glass:
+    ``kernels.cl:247,279``).
+    """
+    try:
+        v0 = np.asarray(scene.tri_v0, np.float32)
+        v1 = np.asarray(scene.tri_v1, np.float32)
+        v2 = np.asarray(scene.tri_v2, np.float32)
+        mat = np.asarray(scene.tri_mat, np.float32)
+    except Exception:
+        return None  # traced scene — caller must pass pairing explicitly
+    T = v0.shape[0]
+    if T < 2 or T > max_triangles:
+        return None
+    verts = np.stack([v0, v1, v2], axis=1)  # [T, 3, 3]
+    is_glass = mat == -1.0
+    scale = max(1.0, float(np.max(np.abs(verts))))
+    eps = tol * scale
+
+    used = np.zeros(T, bool)
+    pairs = []
+    for a in range(T):
+        if used[a]:
+            continue
+        for b in range(a + 1, T):
+            if used[b] or is_glass[a] != is_glass[b]:
+                continue
+            matches = [(i, j) for i in range(3) for j in range(3)
+                       if np.max(np.abs(verts[a, i] - verts[b, j])) <= eps]
+            if len(matches) != 2:
+                continue
+            ai = {i for i, _ in matches}
+            bj = {j for _, j in matches}
+            if len(ai) != 2 or len(bj) != 2:
+                continue
+            p_i = ({0, 1, 2} - ai).pop()
+            q_j = ({0, 1, 2} - bj).pop()
+            s1_i, s2_i = sorted(ai)
+            closure = (verts[a, s1_i] + verts[a, s2_i] - verts[a, p_i])
+            if np.max(np.abs(closure - verts[b, q_j])) <= eps:
+                pairs.append((a, p_i, b))
+                used[a] = used[b] = True
+                break
+    if not pairs:
+        return None
+    leftover = tuple(int(i) for i in range(T) if not used[i])
+    return (tuple(pairs), leftover)

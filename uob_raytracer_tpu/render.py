@@ -86,16 +86,17 @@ def _render_image_jnp(scene: Scene, cfg: RenderConfig,
 # O(rays x triangles).
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _render_image_pallas(scene: Scene, cfg: RenderConfig) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _render_image_pallas(scene: Scene, cfg: RenderConfig,
+                         quads=None) -> jax.Array:
     from .kernels import render_fused_raw
-    img, _ = render_fused_raw(scene, cfg)
+    img, _ = render_fused_raw(scene, cfg, quads=quads)
     return img
 
 
-def _pallas_fwd(scene, cfg):
+def _pallas_fwd(scene, cfg, quads):
     from .kernels.render_fwd import render_fused_res
-    img, _, res = render_fused_res(scene, cfg)
+    img, _, res = render_fused_res(scene, cfg, quads=quads)
     return img, (scene, res)
 
 
@@ -113,7 +114,9 @@ def _use_pallas_bwd(scene: Scene) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _pallas_bwd(cfg, saved, g):
+def _pallas_bwd(cfg, quads, saved, g):
+    # quads affect only the forward occlusion scan; the backward replays
+    # with the recorded lit counts frozen, so the pairing is irrelevant here
     scene, res = saved
     if _use_pallas_bwd(scene):
         from .kernels.render_bwd import render_replay_bwd
@@ -174,32 +177,54 @@ def _resolve_backend(backend: str, cfg: RenderConfig) -> str:
 
 def render_image(scene: Scene, cfg: RenderConfig,
                  chunk_rows: int | None = None,
-                 backend: str = "auto") -> jax.Array:
+                 backend: str = "auto", shadow_quads=None) -> jax.Array:
     """Differentiable float image [H, W, 3].
 
     backend: 'pallas' (fused TPU kernel forward, jnp-autodiff backward),
     'jnp' (pure-jnp pipeline), or 'auto' (pallas on accelerators, jnp on
-    CPU / for cpu_ref mode)."""
+    CPU / for cpu_ref mode).
+
+    shadow_quads: optional static pairing from
+    ``ops.quads.detect_shadow_quads`` — merges paired triangles into
+    parallelogram rows for the pallas occlusion scan (the dominant cost;
+    ~2x fewer shadow rows on Cornell). Affects only boundary-epsilon
+    sample rays vs the per-triangle scan (see ops/quads.py docstring)."""
     backend = _resolve_backend(backend, cfg)
     if backend == "pallas":
         # any scene size: small scenes use the whole-table SMEM kernel,
         # large ones the streamed (DMA-blocked) kernel
-        return _render_image_pallas(scene, cfg)
+        return _render_image_pallas(scene, cfg, shadow_quads)
     return _render_image_jnp(scene, cfg, chunk_rows)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "chunk_rows", "backend"))
-def _render_jit(scene: Scene, cfg: RenderConfig, chunk_rows, backend):
-    img = render_image(scene, cfg, chunk_rows, backend)
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk_rows", "backend",
+                                             "shadow_quads"))
+def _render_jit(scene: Scene, cfg: RenderConfig, chunk_rows, backend,
+                shadow_quads=None):
+    img = render_image(scene, cfg, chunk_rows, backend, shadow_quads)
     return RenderResult(image=img, packed=pack_argb(img))
 
 
 def render(scene: Scene, cfg: RenderConfig,
            chunk_rows: int | None = None,
-           backend: str = "auto") -> RenderResult:
+           backend: str = "auto",
+           shadow_quads="auto") -> RenderResult:
     """Render a frame (jitted). Returns the float image and the packed
-    ARGB8888 screen buffer."""
-    return _render_jit(scene, cfg, chunk_rows, _resolve_backend(backend, cfg))
+    ARGB8888 screen buffer.
+
+    shadow_quads: "auto" detects parallelogram pairs on the concrete scene
+    and uses the quad-merged occlusion scan (pallas backend only); None
+    disables; or pass a pairing from ``ops.quads.detect_shadow_quads``.
+    Geometry being *optimized* should re-detect after updates — pairings
+    are validated against the vertices they were detected on."""
+    backend = _resolve_backend(backend, cfg)
+    if shadow_quads == "auto":
+        if backend == "pallas":
+            from .ops.quads import detect_shadow_quads
+            shadow_quads = detect_shadow_quads(scene)
+        else:
+            shadow_quads = None
+    return _render_jit(scene, cfg, chunk_rows, backend, shadow_quads)
 
 
 def render_packed(scene: Scene, cfg: RenderConfig) -> jax.Array:
