@@ -180,6 +180,7 @@ def bench_scaling(scene, iters: int) -> dict:
     cfg = rt.RenderConfig(width=512, height=h, aa_x=2, aa_y=2,
                           shadow_samples=10, bounces=1)
     rays = logical_ray_count(scene, cfg)
+    quads = _quads_for(scene, backend)   # per-shard headline kernel
     results = {}
     t1 = None
     for dp in dps:
@@ -188,7 +189,7 @@ def bench_scaling(scene, iters: int) -> dict:
         def loss_grad(s, mesh=mesh):
             v, g = jax.value_and_grad(image_loss)(
                 s, jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
-                cfg, mesh, backend)
+                cfg, mesh, backend, quads)
             return v + sum(jnp.sum(x) * 1e-12
                            for x in jax.tree_util.tree_leaves(g))
 

@@ -89,6 +89,28 @@ def test_quad_scan_matches_triangle_scan(bounces):
     assert float(d.max()) <= 0.2  # at most ~one shadow sample flip
 
 
+def test_stale_pairing_rejected():
+    """A pairing detected on one geometry must be rejected once the vertices
+    move (VERDICT: the validity claim is enforced, not just documented)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from uob_raytracer_tpu.ops.quads import validate_shadow_quads
+    scene = rt.cornell_box()
+    q = detect_shadow_quads(scene)
+    validate_shadow_quads(scene, q)          # fresh pairing passes
+    moved = dataclasses.replace(
+        scene, tri_v0=scene.tri_v0.at[0].add(jnp.float32([0.0, 0.05, 0.0])))
+    with pytest.raises(ValueError, match="stale|share|closure"):
+        validate_shadow_quads(moved, q)
+    cfg = rt.RenderConfig(width=16, height=16, aa_x=1, aa_y=1,
+                          shadow_samples=2, bounces=0)
+    with pytest.raises(ValueError):
+        rt.render(moved, cfg, backend="pallas", shadow_quads=q)
+    # re-detection on the moved geometry yields a valid (smaller) pairing
+    q2 = detect_shadow_quads(moved)
+    validate_shadow_quads(moved, q2)
+
+
 def test_render_image_shadow_quads_grad():
     """Gradients flow through the quad-merged forward (lit counts frozen,
     so the pairing must not change the gradient path)."""

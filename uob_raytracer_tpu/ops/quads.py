@@ -93,3 +93,57 @@ def detect_shadow_quads(scene, tol: float = 1e-6,
         return None
     leftover = tuple(int(i) for i in range(T) if not used[i])
     return (tuple(pairs), leftover)
+
+
+def validate_shadow_quads(scene, quads, tol: float = 1e-6) -> None:
+    """Check a pairing against the scene's *current* vertices.
+
+    A pairing detected on one geometry silently corrupts shadows if reused
+    after the vertices move (the merged parallelogram no longer covers the
+    two triangles). This re-checks, for every pair, the shared-vertex and
+    parallelogram-closure conditions of ``detect_shadow_quads`` plus the
+    id partition (every triangle appears exactly once across pairs +
+    leftover). Raises ValueError on any violation; no-op for quads=None or
+    a traced scene (traced training paths must not pass stale pairings —
+    they get the per-triangle scan by default)."""
+    if quads is None:
+        return
+    try:
+        v0 = np.asarray(scene.tri_v0, np.float32)
+        v1 = np.asarray(scene.tri_v1, np.float32)
+        v2 = np.asarray(scene.tri_v2, np.float32)
+        mat = np.asarray(scene.tri_mat, np.float32)
+    except Exception:
+        return  # traced scene: nothing to check against
+    verts = np.stack([v0, v1, v2], axis=1)
+    T = verts.shape[0]
+    pairs, leftover = quads
+    seen = list(leftover)
+    scale = max(1.0, float(np.max(np.abs(verts)))) if T else 1.0
+    eps = tol * scale
+    for a, p_i, b in pairs:
+        seen += [a, b]
+        if not (0 <= a < T and 0 <= b < T):
+            raise ValueError(f"shadow-quad pairing references triangle "
+                             f"({a},{b}) outside the scene's {T} triangles")
+        if (mat[a] == -1.0) != (mat[b] == -1.0):
+            raise ValueError(f"shadow-quad pair ({a},{b}) mixes glass and "
+                             f"non-glass (occlusion skips glass)")
+        s1_i, s2_i = [i for i in range(3) if i != p_i]
+        # the two spanning vertices must still coincide with vertices of b
+        for s_i in (s1_i, s2_i):
+            if np.min(np.max(np.abs(verts[b] - verts[a, s_i]), axis=1)) > eps:
+                raise ValueError(
+                    f"stale shadow-quad pairing: triangles ({a},{b}) no "
+                    f"longer share vertex {s_i} of {a} (moved geometry?) — "
+                    f"re-run detect_shadow_quads on the current scene")
+        closure = verts[a, s1_i] + verts[a, s2_i] - verts[a, p_i]
+        if np.min(np.max(np.abs(verts[b] - closure), axis=1)) > eps:
+            raise ValueError(
+                f"stale shadow-quad pairing: pair ({a},{b}) violates the "
+                f"parallelogram closure by more than {eps:g} — re-run "
+                f"detect_shadow_quads on the current scene")
+    if sorted(seen) != list(range(T)):
+        raise ValueError("shadow-quad pairing does not partition the "
+                         "triangle ids (pairs + leftover must cover each "
+                         "triangle exactly once)")

@@ -37,7 +37,8 @@ def _scene_specs(scene: Scene, tp: bool) -> Scene:
 
 def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
                          chunk_rows: int | None = None,
-                         backend: str = "jnp") -> jax.Array:
+                         backend: str = "jnp",
+                         shadow_quads=None) -> jax.Array:
     """Render the float image [H, W, 3] sharded over ``mesh``.
 
     Rows are split over 'dp'; if the mesh's 'tp' axis is larger than 1 the
@@ -50,7 +51,20 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     shard rendering its row band (path-replay backward included) — the
     production multi-chip path on TPU. backend='jnp' is the portable path
     and the only one supporting triangle (tp) sharding.
+
+    shadow_quads: static quad pairing for the pallas occlusion scan, as in
+    ``render.render_image`` — pass it so every shard runs the same
+    quad-merged headline kernel as the single-chip path ("auto" detects on
+    a concrete scene; traced scenes need an explicit pairing or None).
     """
+    if backend == "pallas" and shadow_quads == "auto":
+        from ..ops.quads import detect_shadow_quads
+        shadow_quads = detect_shadow_quads(scene)
+    elif shadow_quads == "auto":
+        shadow_quads = None
+    if shadow_quads is not None:
+        from ..ops.quads import validate_shadow_quads
+        validate_shadow_quads(scene, shadow_quads)
     tp = mesh.shape["tp"] > 1
     tri_axis = "tp" if tp else None
     n_dp = mesh.shape["dp"]
@@ -73,7 +87,7 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
             row0 = (jax.lax.axis_index("dp") * rows_per_shard).astype(
                 jnp.int32)
             return render_image_pallas_rows(scene_rep, cfg, row0,
-                                            rows_per_shard)
+                                            rows_per_shard, shadow_quads)
 
         fn = shard_map(body_pallas, mesh=mesh,
                        in_specs=(_scene_specs(scene, False),),

@@ -29,8 +29,17 @@ TRAINABLE = ("tri_v0", "tri_v1", "tri_v2", "tri_rgb", "light_pos",
 
 
 def image_loss(scene: Scene, target: jax.Array, cfg: RenderConfig,
-               mesh: Mesh, backend: str = "jnp") -> jax.Array:
-    img = render_image_sharded(scene, cfg, mesh, backend=backend)
+               mesh: Mesh, backend: str = "jnp",
+               shadow_quads=None) -> jax.Array:
+    """MSE against a target image through the sharded renderer.
+
+    shadow_quads: static quad pairing for the pallas occlusion scan.
+    Training paths that move vertices must NOT pass a pairing detected on
+    the pre-update geometry (render_image_sharded validates and raises on
+    stale pairings when the scene is concrete; traced scenes cannot be
+    checked) — light/material-only fits may pass one safely."""
+    img = render_image_sharded(scene, cfg, mesh, backend=backend,
+                               shadow_quads=shadow_quads)
     return jnp.mean(jnp.square(img - target))
 
 

@@ -130,25 +130,29 @@ _render_image_pallas.defvjp(_pallas_fwd, _pallas_bwd)
 
 
 # Row-band variant for dp-sharded launches: each shard renders rows
-# [row0, row0+rows) of the logical image through the fused kernel, with the
-# same path-replay backward. row0 is a traced int32 scalar (a mesh
-# axis_index), which carries a symbolic-zero (float0) cotangent.
+# [row0, row0+rows) of the logical image through the fused kernel — with the
+# same quad-merged occlusion scan and path-replay backward as the
+# single-chip headline kernel. row0 is a traced int32 scalar (a mesh
+# axis_index), which carries a symbolic-zero (float0) cotangent; quads is a
+# static pairing (hashable, nondiff).
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4))
 def render_image_pallas_rows(scene: Scene, cfg: RenderConfig, row0,
-                             rows: int) -> jax.Array:
+                             rows: int, quads=None) -> jax.Array:
     from .kernels import render_fused_raw
-    img, _ = render_fused_raw(scene, cfg, row0=row0, rows=rows)
+    img, _ = render_fused_raw(scene, cfg, row0=row0, rows=rows, quads=quads)
     return img
 
 
-def _pallas_rows_fwd(scene, cfg, row0, rows):
+def _pallas_rows_fwd(scene, cfg, row0, rows, quads):
     from .kernels.render_fwd import render_fused_res
-    img, _, res = render_fused_res(scene, cfg, row0=row0, rows=rows)
+    img, _, res = render_fused_res(scene, cfg, row0=row0, rows=rows,
+                                   quads=quads)
     return img, (scene, row0, res)
 
 
-def _pallas_rows_bwd(cfg, rows, saved, g):
+def _pallas_rows_bwd(cfg, rows, quads, saved, g):
+    # quads affect only the forward occlusion scan (see _pallas_bwd)
     import numpy as np
     scene, row0, res = saved
     if _use_pallas_bwd(scene):
@@ -215,8 +219,9 @@ def render(scene: Scene, cfg: RenderConfig,
     shadow_quads: "auto" detects parallelogram pairs on the concrete scene
     and uses the quad-merged occlusion scan (pallas backend only); None
     disables; or pass a pairing from ``ops.quads.detect_shadow_quads``.
-    Geometry being *optimized* should re-detect after updates — pairings
-    are validated against the vertices they were detected on."""
+    An explicitly passed pairing is re-validated against the scene's
+    current vertices (``ops.quads.validate_shadow_quads``): a stale pairing
+    on moved geometry raises instead of silently corrupting shadows."""
     backend = _resolve_backend(backend, cfg)
     if shadow_quads == "auto":
         if backend == "pallas":
@@ -224,6 +229,9 @@ def render(scene: Scene, cfg: RenderConfig,
             shadow_quads = detect_shadow_quads(scene)
         else:
             shadow_quads = None
+    elif shadow_quads is not None:
+        from .ops.quads import validate_shadow_quads
+        validate_shadow_quads(scene, shadow_quads)
     return _render_jit(scene, cfg, chunk_rows, backend, shadow_quads)
 
 
