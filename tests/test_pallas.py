@@ -76,10 +76,11 @@ def test_no_spheres():
     _compare(sc, RenderConfig(width=128, height=16, bounces=0))
 
 
-def test_cpu_ref_rejected(scene):
-    with pytest.raises(ValueError):
-        render_fused_raw(scene, RenderConfig(width=128, height=16,
-                                             cpu_ref=True))
+def test_cpu_ref_fused(scene):
+    """cpu_ref through the fused kernel == the jnp cpu_ref pipeline — on a
+    scene WITH spheres, which cpu_ref must ignore (the vestigial CPU path
+    predates them, skeleton.cpp:184-279)."""
+    _compare(scene, RenderConfig(width=128, height=16, cpu_ref=True))
 
 
 def test_backend_dispatch(scene):

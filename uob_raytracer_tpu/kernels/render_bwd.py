@@ -310,7 +310,8 @@ def _replay_tile(cfg: RenderConfig, cam_vals, prim: _Row, bnc: list[_Row],
     analogue of the forward kernel's per-tile bounce early exit: most
     Cornell tiles are diffuse-only, so steps 1..B-1 cost one scalar test."""
     pos, normal, rgb, mat, valid = _hit_from_row(prim, start, d)
-    prim_diffuse = valid & (mat > 0)
+    # CPU-ref shades ANY hit triangle (skeleton.cpp:268 has no material test)
+    prim_diffuse = valid if cfg.cpu_ref else valid & (mat > 0)
     shape = d[0].shape
     zero = jnp.zeros(shape, _F)
 
@@ -446,8 +447,9 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         r2 = (cam_in[6], cam_in[7], cam_in[8])
         base = (dx, dy, dz)
         d = (_dot(r0, base), _dot(r1, base), _dot(r2, base))
-        dlen = jnp.sqrt(_dot(d, d))
-        d = (d[0] / dlen, d[1] / dlen, d[2] / dlen)
+        if not cfg.cpu_ref:   # CPU-ref rays stay unnormalized
+            dlen = jnp.sqrt(_dot(d, d))
+            d = (d[0] / dlen, d[1] / dlen, d[2] / dlen)
         start = tuple(jnp.broadcast_to(jnp.reshape(cam_in[9 + c], (1, 1, 1)),
                                        shape) for c in range(3))
         prim_row = prim.with_diff(prim_in)

@@ -321,15 +321,21 @@ def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
     quad-heavy scenes (every Cornell wall/side face pairs)."""
     shape = sdir[0].shape
     S = cfg.shadow_samples
-    # Jittered directions (RNG stream exactly as kernels.cl:331): sample s
-    # uses the (s+1)-th xorshift of the pixel seed.
-    dirs, dds = [], []
-    for _ in range(S):
-        state = _xorshift3(state)
-        j3 = _crush3(state, cfg.light_spread)
-        ds = _add(sdir, j3)
-        dirs.append(ds)
-        dds.append(_dot(ds, ds))
+    if cfg.cpu_ref:
+        # CPU-ref semantics (skeleton.cpp:220-241): ONE unjittered hard
+        # shadow ray; with dds == radius_sq the division-free t-window test
+        # reduces to t^2 < 1, exactly the oracle's |t r| < |r|.
+        dirs, dds = [sdir], [radius_sq]
+    else:
+        # Jittered directions (RNG stream exactly as kernels.cl:331): sample
+        # s uses the (s+1)-th xorshift of the pixel seed.
+        dirs, dds = [], []
+        for _ in range(S):
+            state = _xorshift3(state)
+            j3 = _crush3(state, cfg.light_spread)
+            ds = _add(sdir, j3)
+            dirs.append(ds)
+            dds.append(_dot(ds, ds))
 
     def occ_body(ecol: int, mcol: int, quad: bool):
         def body(get, gi, occs):
@@ -342,7 +348,11 @@ def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
             t_num2 = t_num * t_num
             B2 = _cross(b, e2)
             B1 = _cross(e1, b)
-            not_glass = get(mcol) != _F(-1.0)
+            # CPU-ref occlusion has no material logic — every triangle
+            # occludes (skeleton.cpp:220-241); the GPU path skips glass
+            # (kernels.cl:247,279).
+            not_glass = (jnp.bool_(True) if cfg.cpu_ref
+                         else get(mcol) != _F(-1.0))
             new = []
             for s in range(S):
                 dA = -_dot(dirs[s], E)
@@ -644,8 +654,9 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
     dz = jnp.full((A, TILE_H, TILE_W), focal)
     b = (dx, dy, dz)
     d = (_dot(r0, b), _dot(r1, b), _dot(r2, b))
-    dlen = jnp.sqrt(_dot(d, d))   # divide (not recip-multiply): parity with
-    d = (d[0] / dlen, d[1] / dlen, d[2] / dlen)  # the oracle's normalize
+    if not cfg.cpu_ref:   # CPU-ref rays stay unnormalized (skeleton.cpp:259)
+        dlen = jnp.sqrt(_dot(d, d))   # divide (not recip-multiply): parity
+        d = (d[0] / dlen, d[1] / dlen, d[2] / dlen)  # w/ oracle's normalize
 
     # --- primary intersection ---
     if streamed:
@@ -659,7 +670,8 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
         t_b, pos, normal, rgb, mat, prim_idf = _nearest_hit_primary(
             tri_ref, sph_ref, n_tri, n_sph, cam, d)
     hit = t_b < _BIG
-    prim_diffuse = hit & (mat > 0)
+    # CPU-ref shades ANY hit triangle (no material logic, skeleton.cpp:268)
+    prim_diffuse = hit if cfg.cpu_ref else hit & (mat > 0)
     if with_residuals:
         pid_ref[...] = prim_idf.astype(jnp.int32)
 
@@ -775,7 +787,9 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
 
     sdir = _sub(tuple(jnp.broadcast_to(jnp.reshape(c, (1, 1, 1)), shape)
                       for c in light), sp_pos)
-    sstart = _add(sp_pos, _scale(_F(cfg.bias), sdir))
+    # CPU-ref shadow bias is the CPU path's relative 1e-3 (skeleton.cpp:229)
+    sbias = cfg.cpu_ref_bias if cfg.cpu_ref else cfg.bias
+    sstart = _add(sp_pos, _scale(_F(sbias), sdir))
     radius_sq = _dot(sdir, sdir)
     rs_safe = jnp.where(radius_sq == 0, _F(1.0), radius_sq)
     lam_base = jnp.maximum(_dot(sdir, sp_nrm), 0.0) / (_PI4 * rs_safe)
@@ -936,9 +950,11 @@ def render_fused_raw(scene: Scene, cfg: RenderConfig,
     centering and pixel-id RNG stay global) — the dp-sharded launch path.
     quads: optional static pairing from ops.quads.detect_shadow_quads —
     quad-merged occlusion scan. Not differentiable directly; render.py
-    wires the path-replay custom_vjp."""
-    if cfg.cpu_ref:
-        raise ValueError("pallas backend does not implement cpu_ref mode")
+    wires the path-replay custom_vjp.
+
+    cfg.cpu_ref runs the same fused kernel in CPU-ref semantics
+    (skeleton.cpp:184-279): unnormalized single rays, triangles only, one
+    hard shadow ray with relative bias, no material logic."""
     if interpret is None:
         interpret = default_interpret()
     rows = cfg.height if rows is None else rows
@@ -950,7 +966,8 @@ def render_fused_raw(scene: Scene, cfg: RenderConfig,
     if streamed:  # lane-tile-aligned rows for the HBM block DMA
         tri = jnp.pad(tri, ((0, 0), (0, STREAM_COLS - tri.shape[1])))
     shd, n_quads = _pack_quads(scene, quads, streamed)
-    n_sph = scene.sph_center.shape[0]
+    # CPU-ref ignores spheres entirely (the vestigial path predates them)
+    n_sph = 0 if cfg.cpu_ref else scene.sph_center.shape[0]
     img, packed = _call_kernel(
         tri, sph, cam, off, cfg, scene.tri_v0.shape[0], n_sph,
         _round_up(rows, TILE_H), _round_up(cfg.width, TILE_W), rows,
@@ -976,8 +993,6 @@ def render_fused_res(scene: Scene, cfg: RenderConfig,
     """Forward render that also returns the decision residuals consumed by
     the path-replay backward: (image, packed, Residuals)."""
     from ..ops.replay import Residuals
-    if cfg.cpu_ref:
-        raise ValueError("pallas backend does not implement cpu_ref mode")
     if interpret is None:
         interpret = default_interpret()
     rows = cfg.height if rows is None else rows
@@ -989,7 +1004,7 @@ def render_fused_res(scene: Scene, cfg: RenderConfig,
     if streamed:  # lane-tile-aligned rows for the HBM block DMA
         tri = jnp.pad(tri, ((0, 0), (0, STREAM_COLS - tri.shape[1])))
     shd, n_quads = _pack_quads(scene, quads, streamed)
-    n_sph = scene.sph_center.shape[0]
+    n_sph = 0 if cfg.cpu_ref else scene.sph_center.shape[0]
     img, packed, pid, lit, bid = _call_kernel(
         tri, sph, cam, off, cfg, scene.tri_v0.shape[0], n_sph,
         _round_up(rows, TILE_H), _round_up(cfg.width, TILE_W), rows,

@@ -191,7 +191,8 @@ def replay_forward(scene: Scene, cfg: RenderConfig, res: Residuals,
         table, [prim_id] + [res.bounce_id[b].reshape(-1) for b in range(n_b)])
     pos, normal, rgb, mat, valid = _hit_from_row(all_rows[0], n_tri, prim_id,
                                                  start, d)
-    prim_diffuse = valid & (mat > 0)
+    # CPU-ref shades ANY hit triangle (skeleton.cpp:268 has no material test)
+    prim_diffuse = valid if cfg.cpu_ref else valid & (mat > 0)
 
     # --- bounce chain replay ---
     term_valid = jnp.zeros((n,), bool)

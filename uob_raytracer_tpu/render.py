@@ -173,8 +173,6 @@ render_image_pallas_rows.defvjp(_pallas_rows_fwd, _pallas_rows_bwd)
 
 def _resolve_backend(backend: str, cfg: RenderConfig) -> str:
     if backend == "auto":
-        if cfg.cpu_ref:
-            return "jnp"
         return "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
     return backend
 
@@ -184,9 +182,9 @@ def render_image(scene: Scene, cfg: RenderConfig,
                  backend: str = "auto", shadow_quads=None) -> jax.Array:
     """Differentiable float image [H, W, 3].
 
-    backend: 'pallas' (fused TPU kernel forward, jnp-autodiff backward),
+    backend: 'pallas' (fused TPU kernel forward, path-replay backward),
     'jnp' (pure-jnp pipeline), or 'auto' (pallas on accelerators, jnp on
-    CPU / for cpu_ref mode).
+    CPU). Every cfg mode — including cpu_ref — runs on either backend.
 
     shadow_quads: optional static pairing from
     ``ops.quads.detect_shadow_quads`` — merges paired triangles into
@@ -224,7 +222,7 @@ def render(scene: Scene, cfg: RenderConfig,
     on moved geometry raises instead of silently corrupting shadows."""
     backend = _resolve_backend(backend, cfg)
     if shadow_quads == "auto":
-        if backend == "pallas":
+        if backend == "pallas" and not cfg.cpu_ref:
             from .ops.quads import detect_shadow_quads
             shadow_quads = detect_shadow_quads(scene)
         else:
