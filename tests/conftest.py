@@ -24,6 +24,12 @@ import jax  # noqa: E402
 if not os.environ.get("RAYTPU_TEST_TPU"):
     jax.config.update("jax_platform_name", "cpu")
 
+# CI NaN mode (SURVEY.md §4): RAYTPU_DEBUG_NANS=1 makes every jitted
+# computation in the suite raise on the first NaN it produces
+# (scripts/test.sh --nan-check runs a fast subset this way).
+if os.environ.get("RAYTPU_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -124,11 +124,12 @@ def test_streamed_large_scene():
 
 
 def test_streamed_pad_rows_inert():
-    # 600 pads to 640 rows (STREAM_BLK=64): zero pad rows must never win a
-    # hit — the packed image equals the jnp render's packing.
-    from uob_raytracer_tpu.kernels.render_fwd import STREAM_BLK
+    # 600 triangles pad to a STREAM_PACK*STREAM_BLK multiple in the packed
+    # streamed layout: zero pad items must never win a hit — the packed
+    # image equals the jnp render's packing.
+    from uob_raytracer_tpu.kernels.render_fwd import STREAM_BLK, STREAM_PACK
     sc = _dense_scene(600)
-    assert int(sc.tri_v0.shape[0]) % STREAM_BLK != 0
+    assert int(sc.tri_v0.shape[0]) % (STREAM_PACK * STREAM_BLK) != 0
     _compare(sc, RenderConfig(width=128, height=8, shadow_samples=1,
                               bounces=0))
 

@@ -114,6 +114,9 @@ def cmd_fit(args):
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
+    # --lr scales every per-leaf Adam rate (1.0 = the tuned defaults).
+    s_lr = args.lr
+
     # Round 1: light position + left-wall color, jointly.
     t1 = dataclasses.replace(
         scene,
@@ -121,8 +124,8 @@ def cmd_fit(args):
         tri_rgb=scene.tri_rgb.at[2:4].set(jnp.float32([0.9, 0.5, 0.2])))
     target1 = render_image_sharded(t1, cfg, mesh, backend=backend)
     s1, l1 = fit(scene, target1, cfg, mesh, steps=args.steps,
-                 lrs={"light_pos": 2e-2, "tri_rgb": 2e-2}, backend=backend,
-                 log_every=max(args.steps // 5, 1))
+                 lrs={"light_pos": 2e-2 * s_lr, "tri_rgb": 2e-2 * s_lr},
+                 backend=backend, log_every=max(args.steps // 5, 1))
     print(f"[light+color] loss {l1[0]:.6f} -> {l1[-1]:.6f}")
     print(f"  light fitted {np.asarray(s1.light_pos).round(4)} "
           f"(target {np.asarray(t1.light_pos).round(4)})")
@@ -139,7 +142,8 @@ def cmd_fit(args):
                              tri_v2=scene.tri_v2 + dv)
     target2 = render_image_sharded(t2, cfg, mesh, backend=backend)
     s2, l2 = fit(scene, target2, cfg, mesh, steps=args.steps,
-                 lrs={"tri_v0": 5e-3, "tri_v1": 5e-3, "tri_v2": 5e-3},
+                 lrs={"tri_v0": 5e-3 * s_lr, "tri_v1": 5e-3 * s_lr,
+                      "tri_v2": 5e-3 * s_lr},
                  backend=backend, log_every=max(args.steps // 5, 1))
     dz = float((s2.tri_v0[8:10, 2] - scene.tri_v0[8:10, 2]).mean())
     print(f"[vertices]    loss {l2[0]:.6f} -> {l2[-1]:.6f}")
@@ -193,7 +197,8 @@ def main(argv=None):
             sp.add_argument("--frames", type=int, default=60)
         if name == "fit":
             sp.add_argument("--steps", type=int, default=30)
-            sp.add_argument("--lr", type=float, default=0.5)
+            sp.add_argument("--lr", type=float, default=1.0,
+                            help="scale factor on the per-leaf Adam rates")
     args = p.parse_args(argv)
     args.fn(args)
 

@@ -36,11 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 from ..scene import Scene
-from .render_fwd import (STREAM_BLK, STREAM_COLS, TILE_H, TILE_W,
-                         UNROLL_TRIANGLES, _add, _dot, _round_up, _scale,
-                         _smem_tri_scan, _streamed_tri_scan, _sub,
+from .render_fwd import (STREAM_BLK, STREAM_COLS, STREAM_PACK, TILE_H,
+                         TILE_W, UNROLL_TRIANGLES, _add, _dot, _round_up,
+                         _scale, _smem_tri_scan, _streamed_tri_scan, _sub,
                          _unrolled_tri_scan, _use_streamed, _where3,
-                         pack_scene)
+                         pack_scene, pack_streamed)
 
 _F = np.float32
 
@@ -250,46 +250,63 @@ def _row_unpack(rowp) -> _Row:
                 mat, isf > 0, vaf > 0)
 
 
-def _gated_bounce(cfg: RenderConfig):
-    """Per-tile-gated bounce step with a hand-written VJP.
+def _gated_chain(cfg: RenderConfig, n_steps: int):
+    """Whole-bounce-chain replay behind ONE per-tile gate, with a
+    hand-written VJP.
 
-    The obvious ``lax.cond(live, step, identity)`` under ``jax.vjp`` does
-    not lower on TPU: partial-eval residualizes the step's bool masks as
+    Why one gate and not one per step: measured on v5e (all-dead tiles,
+    b=10), per-step custom_vjp gates cost ~2 ms/step — the cond machinery
+    (40+ vector yields per scf.if, plus per-step (rowp, carry) residuals
+    spilled across the primal->cotangent span) exceeds the ~1 ms/step of
+    simply running the step, so gating per step was SLOWER than not gating.
+    Recorded liveness is monotone (the forward loop never revives a lane),
+    so one gate on step 0's liveness is exact: dead tiles (~90% on Cornell)
+    skip the entire chain in both passes, live tiles run every step
+    ungated (their inner dead steps cost ~1 ms/step over only ~10% of
+    tiles).
+
+    The obvious ``lax.cond(live, chain, identity)`` under ``jax.vjp`` does
+    not lower on TPU: partial-eval residualizes the chain's bool masks as
     cond outputs, and Mosaic cannot yield i1 vectors from an scf.if (nor
     does it lower ``remat2``, ruling out jax.checkpoint). This custom_vjp
     keeps every bool inside a branch body: the primal cond yields only the
-    f32 carry, and the backward cond's live branch *recomputes* the step
+    f32 carry, and the backward cond's live branch *recomputes* the chain
     forward and transposes it in place (rematerialization by hand). The
-    dead branch is the identity transpose: dcarry = g, drow = 0."""
+    dead branch is the identity transpose: dcarry = g, drows = 0."""
 
     @jax.custom_vjp
-    def gated(livef, rowp, carry):
-        return jax.lax.cond(
-            livef > 0,
-            lambda c: _bounce_step(cfg, _row_unpack(rowp), c),
-            lambda c: c, carry)
+    def gated(livef, rowps, carry):
+        def live(c):
+            for b in range(n_steps):
+                c = _bounce_step(cfg, _row_unpack(rowps[b]), c)
+            return c
+        return jax.lax.cond(livef > 0, live, lambda c: c, carry)
 
-    def fwd(livef, rowp, carry):
-        return gated(livef, rowp, carry), (livef, rowp, carry)
+    def fwd(livef, rowps, carry):
+        return gated(livef, rowps, carry), (livef, rowps, carry)
 
     def bwd(saved, g):
-        livef, rowp, carry = saved
-        diff, mat, isf, vaf = rowp
+        livef, rowps, carry = saved
+        diffs = tuple(rp[0] for rp in rowps)
+        rests = tuple(rp[1:] for rp in rowps)
 
         def live_fn():
-            def h(dd, cc):
-                return _bounce_step(cfg, _row_unpack((dd, mat, isf, vaf)),
-                                    cc)
-            _, vjp = jax.vjp(h, diff, carry)
+            def h(dds, cc):
+                for b in range(n_steps):
+                    cc = _bounce_step(
+                        cfg, _row_unpack((dds[b],) + rests[b]), cc)
+                return cc
+            _, vjp = jax.vjp(h, diffs, carry)
             return vjp(g)
 
         def dead_fn():
-            return (jax.tree_util.tree_map(jnp.zeros_like, diff), g)
+            return (jax.tree_util.tree_map(jnp.zeros_like, diffs), g)
 
-        ddiff, dcarry = jax.lax.cond(livef > 0, live_fn, dead_fn)
-        drowp = (ddiff, jnp.zeros_like(mat), jnp.zeros_like(isf),
-                 jnp.zeros_like(vaf))
-        return (jnp.zeros_like(livef), drowp, dcarry)
+        ddiffs, dcarry = jax.lax.cond(livef > 0, live_fn, dead_fn)
+        drowps = tuple(
+            (dd,) + jax.tree_util.tree_map(jnp.zeros_like, rest)
+            for dd, rest in zip(ddiffs, rests))
+        return (jnp.zeros_like(livef), drowps, dcarry)
 
     gated.defvjp(fwd, bwd)
     return gated
@@ -302,13 +319,14 @@ def _replay_tile(cfg: RenderConfig, cam_vals, prim: _Row, bnc: list[_Row],
     camera gradients flow through cam_vals).
 
     lives: optional per-bounce-step scalar bools (any lane live at step b,
-    from the recorded ids). A dead step is skipped via ``_gated_bounce`` —
-    exact, because recorded ids are monotone-dead (once every lane of the
-    tile misses at step b, every later step records misses too, so the
-    skipped state updates are unobservable) and the gate routes zero
-    cotangents to the dead step's gathered rows. This is the backward
-    analogue of the forward kernel's per-tile bounce early exit: most
-    Cornell tiles are diffuse-only, so steps 1..B-1 cost one scalar test."""
+    from the recorded ids). When given, the ENTIRE chain is skipped via
+    ``_gated_chain`` for tiles dead at step 0 — exact, because recorded ids
+    are monotone-dead (once every lane of the tile misses at step b, every
+    later step records misses too, so the skipped state updates are
+    unobservable) and the gate routes zero cotangents to the dead chain's
+    gathered rows. This is the backward analogue of the forward kernel's
+    per-tile bounce early exit: most Cornell tiles are diffuse-only and
+    pay one scalar test for the whole chain."""
     pos, normal, rgb, mat, valid = _hit_from_row(prim, start, d)
     # CPU-ref shades ANY hit triangle (skeleton.cpp:268 has no material test)
     prim_diffuse = valid if cfg.cpu_ref else valid & (mat > 0)
@@ -323,13 +341,13 @@ def _replay_tile(cfg: RenderConfig, cam_vals, prim: _Row, bnc: list[_Row],
                  jnp.where(valid & (mat <= 0), _F(1.0), _F(0.0)),
                  jnp.zeros(shape, _F), term_pos, term_nrm,
                  term_rgb, weight)
-        gated = _gated_bounce(cfg) if lives is not None else None
-        for b in range(cfg.bounces):
-            if lives is None:
+        if lives is None:
+            for b in range(cfg.bounces):
                 carry = _bounce_step(cfg, bnc[b], carry)
-            else:
-                livef = jnp.where(lives[b], _F(1.0), _F(0.0))
-                carry = gated(livef, _row_pack(bnc[b]), carry)
+        else:
+            live0f = jnp.where(lives[0], _F(1.0), _F(0.0))
+            carry = _gated_chain(cfg, cfg.bounces)(
+                live0f, tuple(_row_pack(r) for r in bnc), carry)
         (_, _, _, _, _, _, term_valid_f, term_pos, term_nrm, term_rgb,
          weight) = carry
         term_valid = term_valid_f > 0
@@ -633,12 +651,10 @@ def render_replay_bwd(scene: Scene, cfg: RenderConfig, res, g,
     off = (jnp.zeros((1,), jnp.int32) if row0 is None
            else jnp.asarray(row0, jnp.int32).reshape(1))
     streamed = _use_streamed(scene)
-    (tri, sph, cam), pack_vjp = jax.vjp(
-        functools.partial(pack_scene,
-                          pad_rows_to=STREAM_BLK if streamed else 1), scene)
+    (tri, sph, cam), pack_vjp = jax.vjp(pack_scene, scene)
     t_pad = tri.shape[0]
-    if streamed:  # lane-tile-aligned rows for the HBM block DMA
-        tri = jnp.pad(tri, ((0, 0), (0, STREAM_COLS - tri.shape[1])))
+    if streamed:  # STREAM_PACK triangles per lane-tile-aligned HBM row
+        tri = pack_streamed(tri, 19, STREAM_PACK)
     n_tri = scene.tri_v0.shape[0]
     n_sph = scene.sph_center.shape[0]
     hp = _round_up(rows, TILE_H)

@@ -46,17 +46,14 @@ _UINT_MAX_F = np.float32(4294967295.0)  # == 2^32 in f32, as in the OpenCL
 # Scene packing: SoA pytree -> flat SMEM tables (traced, differentiable)
 # --------------------------------------------------------------------------
 
-def pack_scene(scene: Scene, pad_rows_to: int = 1):
+def pack_scene(scene: Scene):
     """Flatten the scene into (tri [T,19], sph [S',12], cam [24]) float32
     tables for SMEM. tri row: v0, e1, e2, n(unit), rgb, mat, E=cross(e1,e2).
     sph row: c, r2, rgb, mat, pad. cam: rot rows r0 r1 r2, camera, light,
     light_color, indirect. Built inside the traced graph so gradients flow
-    back to every Scene leaf.
-
-    pad_rows_to: pad the triangle table with all-zero rows to a multiple of
-    this (the streamed kernel's DMA block). Zero rows have E = 0, so their
-    detA is exactly 0 and every accept test rejects them — the pad is inert
-    in all three scan sites."""
+    back to every Scene leaf. (The streamed kernel re-packs the triangle
+    table with ``pack_streamed``, whose all-zero pad items have E = 0 and
+    hence detA exactly 0 — inert in every scan site.)"""
     v0 = scene.tri_v0
     e1 = scene.tri_v1 - v0
     e2 = scene.tri_v2 - v0
@@ -66,9 +63,6 @@ def pack_scene(scene: Scene, pad_rows_to: int = 1):
     tri = jnp.concatenate(
         [v0, e1, e2, n, scene.tri_rgb, scene.tri_mat[:, None],
          jnp.cross(e1, e2)], axis=1)
-    if pad_rows_to > 1 and tri.shape[0] % pad_rows_to:
-        pad = pad_rows_to - tri.shape[0] % pad_rows_to
-        tri = jnp.concatenate([tri, jnp.zeros((pad, tri.shape[1]), _F)])
 
     if scene.sph_center.shape[0]:
         sph = jnp.concatenate([
@@ -154,10 +148,6 @@ def _crush3(s, rng):
 # Kernel
 # --------------------------------------------------------------------------
 
-def _tri_vec(tri_ref, i, base):
-    return (tri_ref[i, base], tri_ref[i, base + 1], tri_ref[i, base + 2])
-
-
 def _cross(a, b):
     return (a[1] * b[2] - a[2] * b[1],
             a[2] * b[0] - a[0] * b[2],
@@ -212,6 +202,7 @@ def _smem_scan_range(ref, lo: int, hi: int, unroll: bool):
 # triangle rows after. Row: v0 0:3, e1 3:6, e2 6:9, E=cross(e1,e2) 9:12,
 # mat 12 (occlusion only needs the glass flag, kernels.cl:247,279).
 SHD_COLS = 13
+SHD_PACK = 9   # shd items per streamed row (9 * 13 = 117 <= 128 cols)
 
 
 def pack_shadow(scene: Scene, quads):
@@ -243,39 +234,49 @@ def pack_shadow(scene: Scene, quads):
     return jnp.concatenate(rows, axis=0).astype(_F)
 
 
-# Streamed-kernel DMA block: rows per SMEM-resident triangle block. The
-# table is padded to STREAM_COLS columns so HBM row slices are lane-tile
-# aligned (Mosaic requires minor-dim slices in multiples of 128); the double
-# buffer costs 2 * STREAM_BLK * STREAM_COLS * 4 B of SMEM (64 KiB at 64).
-#
-# Traffic note: the 19 -> 128 column pad inflates the streamed table ~6.7x,
-# and every pixel tile re-streams the full table once per scan site
-# (primary + each live bounce step + the shadow pass), so HBM reads scale
-# as tiles x sites x 6.7 x table bytes. At 8k triangles / 128^2 px that is
-# ~1.3 GB/frame — still far below the compute time's bandwidth budget
-# (measured: the 8k-triangle frame is VPU-bound, not DMA-bound), so the pad
-# is kept for its alignment simplicity. If DMA ever binds, pack 6 triangles
-# per 128-lane row (6x19=114 cols) and unpack in SMEM.
-STREAM_BLK = 64
+# Streamed-kernel layout: STREAM_PACK items are packed side-by-side into
+# each 128-lane HBM row (item k of row r at columns [k*item_cols,
+# (k+1)*item_cols)), so the mandatory 128-column alignment pad (Mosaic
+# requires minor-dim slices in multiples of 128) costs only 128 - 6*19 = 14
+# dead columns (~12%) instead of the 6.7x single-item-per-row inflation.
+# Blocks of STREAM_BLK rows (= 6*STREAM_BLK triangles) are double-buffered
+# into SMEM scratch; each buffer costs STREAM_BLK * STREAM_COLS * 4 B of
+# SMEM (16 KiB at 32).
+STREAM_PACK = 6     # triangles per streamed row (6 * 19 = 114 <= 128 cols)
+STREAM_BLK = 32
 STREAM_COLS = 128
 
 
-def _streamed_tri_scan(tri_any, buf, sems, n_rows: int):
-    """Triangle-scan strategy for the streamed kernel (large scenes).
+def pack_streamed(tbl, item_cols: int, pack: int):
+    """[N, item_cols] table -> [N/pack (rounded up to a STREAM_BLK
+    multiple), STREAM_COLS] streamed layout. Pad items are all-zero rows:
+    their E = cross(e1,e2) = 0 makes detA exactly 0, so every accept test
+    rejects them — inert in all scan sites (see pack_scene)."""
+    n = tbl.shape[0]
+    n_pad = _round_up(max(n, 1), pack * STREAM_BLK)
+    tbl = jnp.pad(tbl, ((0, n_pad - n), (0, 0)))
+    rows = tbl.reshape(n_pad // pack, pack * item_cols)
+    return jnp.pad(rows, ((0, 0), (0, STREAM_COLS - rows.shape[1])))
 
-    The packed triangle table (padded to a STREAM_BLK multiple; pad rows are
-    inert, see pack_scene) stays out of SMEM; blocks of STREAM_BLK rows are
+
+def _streamed_scan(tbl_hbm, buf, sems, n_rows: int, item_cols: int,
+                   pack: int):
+    """Item-scan strategy over a packed streamed table (large scenes).
+
+    The table stays out of SMEM; blocks of STREAM_BLK rows are
     double-buffered into SMEM scratch with async DMA so the copy of block
-    k+1 overlaps the scan of block k. This removes the SMEM capacity cap on
-    scene size — the TPU analogue of tiling the reference's
+    k+1 overlaps the scan of block k. Within a row the ``pack`` items
+    unroll at trace time (static column offsets). This removes the SMEM
+    capacity cap on scene size — the TPU analogue of tiling the reference's
     async_work_group_copy staging (kernels.cl:374-376) over a table larger
-    than local memory."""
+    than local memory. The body receives (get, gi, carry) with gi the
+    global ITEM index as f32."""
     n_blocks = n_rows // STREAM_BLK
 
     def scan(body, carry):
         def copy(k, slot):
             return pltpu.make_async_copy(
-                tri_any.at[pl.ds(k * STREAM_BLK, STREAM_BLK)],
+                tbl_hbm.at[pl.ds(k * STREAM_BLK, STREAM_BLK)],
                 buf.at[slot], sems.at[slot])
 
         copy(0, 0).start()
@@ -289,18 +290,28 @@ def _streamed_tri_scan(tri_any, buf, sems, n_rows: int):
 
             copy(k, slot).wait()
 
-            def inner(i, c):
-                return body(lambda col: buf[slot, i, col],
-                            (k * STREAM_BLK + i).astype(_F), c)
+            def inner(r, c):
+                base = ((k * STREAM_BLK + r) * pack).astype(_F)
+                for kk in range(pack):
+                    c = body(lambda col, kk=kk: buf[slot, r,
+                                                    kk * item_cols + col],
+                             base + _F(kk), c)
+                return c
             return jax.lax.fori_loop(0, STREAM_BLK, inner, carry)
 
         return jax.lax.fori_loop(0, n_blocks, outer, carry)
     return scan
 
 
+def _streamed_tri_scan(tri_any, buf, sems, n_rows: int):
+    """Triangle-scan strategy for the streamed kernel: STREAM_PACK
+    triangles of TRI-table layout (19 cols) per streamed row."""
+    return _streamed_scan(tri_any, buf, sems, n_rows, 19, STREAM_PACK)
+
+
 def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
                cfg: RenderConfig, shd_ref=None, n_quads: int = 0,
-               n_shd: int = 0):
+               n_shd: int = 0, shd_scan=None):
     """Unoccluded-sample count for the soft-shadow pass — the hot loop.
 
     Two restructurings over the naive per-sample scan (identical semantics
@@ -337,7 +348,11 @@ def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
             dirs.append(ds)
             dds.append(_dot(ds, ds))
 
-    def occ_body(ecol: int, mcol: int, quad: bool):
+    def occ_body(ecol: int, mcol: int, quad):
+        """quad: True/False for a homogeneous scan range, or "by_gi" for the
+        streamed mixed scan (item gi < n_quads is a parallelogram row) —
+        costing one scalar compare + one select per sample over the
+        homogeneous form."""
         def body(get, gi, occs):
             v0 = (get(0), get(1), get(2))
             e1 = (get(3), get(4), get(5))
@@ -353,6 +368,7 @@ def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
             # (kernels.cl:247,279).
             not_glass = (jnp.bool_(True) if cfg.cpu_ref
                          else get(mcol) != _F(-1.0))
+            is_quad = gi < _F(n_quads) if quad == "by_gi" else None
             new = []
             for s in range(S):
                 dA = -_dot(dirs[s], E)
@@ -362,12 +378,14 @@ def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
                 base = ((t_num * dA >= 0)
                         & (t_num2 * dds[s] < radius_sq * dA2)
                         & (u_n * dA >= 0) & (v_n * dA >= 0))
-                if quad:
-                    # parallelogram bounds; dA == 0 is rejected by the
-                    # strict t-window test (both sides 0)
-                    inb = (u_n * dA <= dA2) & (v_n * dA <= dA2)
+                # quad: parallelogram bounds; dA == 0 is rejected by the
+                # strict t-window test (both sides 0). tri: simplex bound.
+                inb_q = (u_n * dA <= dA2) & (v_n * dA <= dA2)
+                inb_t = ((u_n + v_n) * dA <= dA2) & (dA != 0)
+                if quad == "by_gi":
+                    inb = jnp.where(is_quad, inb_q, inb_t)
                 else:
-                    inb = ((u_n + v_n) * dA <= dA2) & (dA != 0)
+                    inb = inb_q if quad else inb_t
                 hit = base & inb & not_glass
                 new.append(jnp.maximum(occs[s],
                                        jnp.where(hit, _F(1.0), _F(0.0))))
@@ -375,7 +393,9 @@ def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
         return body
 
     occs0 = tuple(jnp.zeros(shape) for _ in range(S))
-    if shd_ref is not None:
+    if shd_scan is not None:
+        occs = shd_scan(occ_body(9, 12, quad="by_gi"), occs0)
+    elif shd_ref is not None:
         unroll = n_shd <= UNROLL_TRIANGLES
         occs = _smem_scan_range(shd_ref, 0, n_quads, unroll)(
             occ_body(9, 12, quad=True), occs0)
@@ -415,7 +435,8 @@ def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
     return lit
 
 
-def _nearest_hit_primary(tri_ref, sph_ref, n_tri, n_sph, cam, d):
+def _nearest_hit_primary(tri_scan, sph_ref, n_tri, n_sph, cam, d,
+                         gather_scan=None):
     """Nearest hit for the primary bundle, exploiting the uniform ray origin
     (every AA ray starts at the camera, ``kernels.cl:388-396``).
 
@@ -425,18 +446,18 @@ def _nearest_hit_primary(tri_ref, sph_ref, n_tri, n_sph, cam, d):
     3-dots, one divide and the accept test, carrying only (t_best, id). The
     winning object's shading attributes are reconstructed once after the
     scan (hit position as start + t*d — same point as the u/v form up to
-    rounding). ~3x fewer VPU ops than the general scan."""
+    rounding). ~3x fewer VPU ops than the general scan. Works through any
+    scan strategy (whole-table SMEM or streamed): the per-triangle
+    invariants read scalars from SMEM either way."""
     shape = d[0].shape
     inf = jnp.full(shape, _BIG)
-    t_b = inf
-    idf = jnp.full(shape, _F(-1.0))
 
-    def tri_body(i, carry):
+    def tri_body(get, gi, carry):
         t_b, idf = carry
-        v0 = _tri_vec(tri_ref, i, 0)
-        e1 = _tri_vec(tri_ref, i, 3)
-        e2 = _tri_vec(tri_ref, i, 6)
-        E = _tri_vec(tri_ref, i, 16)          # cross(e1, e2), precomputed
+        v0 = (get(0), get(1), get(2))
+        e1 = (get(3), get(4), get(5))
+        e2 = (get(6), get(7), get(8))
+        E = (get(16), get(17), get(18))       # cross(e1, e2), precomputed
         # scalar per-triangle invariants (shared ray origin)
         b = (cam[0] - v0[0], cam[1] - v0[1], cam[2] - v0[2])
         t_num = b[0] * E[0] + b[1] * E[1] + b[2] * E[2]
@@ -451,9 +472,9 @@ def _nearest_hit_primary(tri_ref, sph_ref, n_tri, n_sph, cam, d):
         ok = ((t >= 0) & (u >= 0) & (v >= 0) & ((u + v) <= 1)
               & ~degen & (t < t_b))
         return (jnp.where(ok, t, t_b),
-                jnp.where(ok, i.astype(_F), idf))
+                jnp.where(ok, gi, idf))
 
-    t_b, idf = jax.lax.fori_loop(0, n_tri, tri_body, (t_b, idf))
+    t_b, idf = tri_scan(tri_body, (inf, jnp.full(shape, _F(-1.0))))
 
     for i in range(n_sph):
         c = (sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2])
@@ -476,9 +497,9 @@ def _nearest_hit_primary(tri_ref, sph_ref, n_tri, n_sph, cam, d):
         t_b = jnp.where(ok, cand, t_b)
         idf = jnp.where(ok, _F(n_tri + i), idf)
 
-    # --- winner reconstruction: one gather over the scene. fori_loop with
-    # dynamic SMEM indexing (not a Python unroll): trace/compile time is
-    # O(1) in the triangle count ---
+    # --- winner reconstruction: one more pass over the scene through the
+    # same scan strategy (a second DMA stream in the streamed kernel; the
+    # two passes still total ~3x fewer vector ops than the general scan) ---
     hit = t_b < _BIG
     t_s = jnp.where(hit, t_b, _F(0.0))
     start = tuple(jnp.broadcast_to(jnp.reshape(c, (1, 1, 1)), shape)
@@ -495,9 +516,7 @@ def _nearest_hit_primary(tri_ref, sph_ref, n_tri, n_sph, cam, d):
                 jnp.where(m, get(13), cg), jnp.where(m, get(14), cb),
                 jnp.where(m, get(15), mat))
 
-    scan = (_unrolled_tri_scan if n_tri <= UNROLL_TRIANGLES
-            else _smem_tri_scan)(tri_ref, n_tri)
-    nx, ny, nz, cr, cg, cb, mat = scan(
+    nx, ny, nz, cr, cg, cb, mat = (gather_scan or tri_scan)(
         gather_body,
         (zero, zero, zero, zero, zero, zero, jnp.ones(shape)))
     nrm = (nx, ny, nz)
@@ -605,8 +624,14 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
     else:
         shd_ref = None
     img_ref, packed_ref, *res_refs = refs
+    shd_scan = None
     if streamed:
-        *res_refs, tri_buf, tri_sems = res_refs
+        if n_shd:
+            (*res_refs, tri_buf, tri_sems, shd_buf, shd_sems) = res_refs
+            shd_scan = _streamed_scan(shd_ref, shd_buf, shd_sems,
+                                      shd_ref.shape[0], SHD_COLS, SHD_PACK)
+        else:
+            *res_refs, tri_buf, tri_sems = res_refs
         tri_scan = _streamed_tri_scan(tri_ref, tri_buf, tri_sems, n_rows)
     else:
         tri_scan = _smem_tri_scan(tri_ref, n_rows)
@@ -658,17 +683,15 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
         dlen = jnp.sqrt(_dot(d, d))   # divide (not recip-multiply): parity
         d = (d[0] / dlen, d[1] / dlen, d[2] / dlen)  # w/ oracle's normalize
 
-    # --- primary intersection ---
+    # --- primary intersection: shared-origin fast path (per-triangle
+    # invariants on the scalar unit) through either scan strategy ---
     if streamed:
-        cam_b = tuple(jnp.broadcast_to(jnp.reshape(c, (1, 1, 1)), d[0].shape)
-                      for c in cam)
-        t_b, pos, normal, rgb, mat, prim_idf = _nearest_hit(
-            tri_scan, sph_ref, n_tri, n_sph, cam_b, d)
-    else:
-        # shared-origin fast path (per-triangle invariants on the scalar
-        # unit) — needs the whole table addressable, so SMEM kernel only
-        t_b, pos, normal, rgb, mat, prim_idf = _nearest_hit_primary(
-            tri_ref, sph_ref, n_tri, n_sph, cam, d)
+        gather_scan = None
+    else:   # small scenes: unroll the winner gather (static SMEM offsets)
+        gather_scan = (_unrolled_tri_scan if n_tri <= UNROLL_TRIANGLES
+                       else _smem_tri_scan)(tri_ref, n_tri)
+    t_b, pos, normal, rgb, mat, prim_idf = _nearest_hit_primary(
+        tri_scan, sph_ref, n_tri, n_sph, cam, d, gather_scan)
     hit = t_b < _BIG
     # CPU-ref shades ANY hit triangle (no material logic, skeleton.cpp:268)
     prim_diffuse = hit if cfg.cpu_ref else hit & (mat > 0)
@@ -801,7 +824,7 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
                         _f32_to_u32(gf * _F(19.0))))
     lit_count = _lit_count(tri_scan, sph_ref, n_sph, sstart, sdir,
                            state, radius_sq, cfg, shd_ref=shd_ref,
-                           n_quads=n_quads, n_shd=n_shd)
+                           n_quads=n_quads, n_shd=n_shd, shd_scan=shd_scan)
     if with_residuals:
         lit_ref[...] = lit_count
     dl_scale = lit_count * lam_base / _F(cfg.shadow_samples)
@@ -893,17 +916,24 @@ def _call_kernel(tri, sph, cam, off, cfg: RenderConfig, n_tri: int,
     ]
     inputs = [tri, sph, cam, off]
     if n_shd:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM) if streamed
+                        else pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(shd)
+    scratch = []
+    if streamed:
+        scratch = [pltpu.SMEM((2, STREAM_BLK, STREAM_COLS), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,))]
+        if n_shd:   # second double buffer for the streamed shd table
+            scratch += [pltpu.SMEM((2, STREAM_BLK, STREAM_COLS),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=(
-            [pltpu.SMEM((2, STREAM_BLK, STREAM_COLS), jnp.float32),
-             pltpu.SemaphoreType.DMA((2,))] if streamed else []),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*inputs)
     h, w = rows, cfg.width
@@ -930,13 +960,16 @@ def default_interpret() -> bool:
 
 
 def _pack_quads(scene: Scene, quads, streamed: bool):
-    """(shd table, n_quads) for a static pairing, or (None, 0). Quad-merged
-    occlusion is an SMEM-kernel feature; the streamed kernel keeps the
-    per-triangle scan (large scenes rarely pair, and the table would need
-    its own DMA stream)."""
-    if quads is None or streamed:
+    """(shd table, n_quads) for a static pairing, or (None, 0). The SMEM
+    kernel keeps the table whole in SMEM; the streamed kernel packs it
+    SHD_PACK-per-row and DMA-streams it like the triangle table (the mixed
+    quad/tri accept test selects per item on gi < n_quads)."""
+    if quads is None:
         return None, 0
-    return pack_shadow(scene, quads), len(quads[0])
+    shd = pack_shadow(scene, quads)
+    if streamed:
+        shd = pack_streamed(shd, SHD_COLS, SHD_PACK)
+    return shd, len(quads[0])
 
 
 def render_fused_raw(scene: Scene, cfg: RenderConfig,
@@ -961,10 +994,9 @@ def render_fused_raw(scene: Scene, cfg: RenderConfig,
     off = (jnp.zeros((1,), jnp.int32) if row0 is None
            else jnp.asarray(row0, jnp.int32).reshape(1))
     streamed = _use_streamed(scene)
-    tri, sph, cam = pack_scene(scene,
-                               pad_rows_to=STREAM_BLK if streamed else 1)
-    if streamed:  # lane-tile-aligned rows for the HBM block DMA
-        tri = jnp.pad(tri, ((0, 0), (0, STREAM_COLS - tri.shape[1])))
+    tri, sph, cam = pack_scene(scene)
+    if streamed:  # STREAM_PACK triangles per lane-tile-aligned HBM row
+        tri = pack_streamed(tri, 19, STREAM_PACK)
     shd, n_quads = _pack_quads(scene, quads, streamed)
     # CPU-ref ignores spheres entirely (the vestigial path predates them)
     n_sph = 0 if cfg.cpu_ref else scene.sph_center.shape[0]
@@ -999,10 +1031,9 @@ def render_fused_res(scene: Scene, cfg: RenderConfig,
     off = (jnp.zeros((1,), jnp.int32) if row0 is None
            else jnp.asarray(row0, jnp.int32).reshape(1))
     streamed = _use_streamed(scene)
-    tri, sph, cam = pack_scene(scene,
-                               pad_rows_to=STREAM_BLK if streamed else 1)
-    if streamed:  # lane-tile-aligned rows for the HBM block DMA
-        tri = jnp.pad(tri, ((0, 0), (0, STREAM_COLS - tri.shape[1])))
+    tri, sph, cam = pack_scene(scene)
+    if streamed:  # STREAM_PACK triangles per lane-tile-aligned HBM row
+        tri = pack_streamed(tri, 19, STREAM_PACK)
     shd, n_quads = _pack_quads(scene, quads, streamed)
     n_sph = 0 if cfg.cpu_ref else scene.sph_center.shape[0]
     img, packed, pid, lit, bid = _call_kernel(

@@ -35,8 +35,31 @@ import numpy as np
 ShadowQuads = tuple
 
 
+def _verify_pair(verts, is_glass, eps, a, b):
+    """Precise pairing test for candidate (a, b): same glass status, exactly
+    two shared vertices (within eps), parallelogram closure (within eps).
+    Returns triangle a's off-diagonal corner index, or None."""
+    if is_glass[a] != is_glass[b]:
+        return None
+    matches = [(i, j) for i in range(3) for j in range(3)
+               if np.max(np.abs(verts[a, i] - verts[b, j])) <= eps]
+    if len(matches) != 2:
+        return None
+    ai = {i for i, _ in matches}
+    bj = {j for _, j in matches}
+    if len(ai) != 2 or len(bj) != 2:
+        return None
+    p_i = ({0, 1, 2} - ai).pop()
+    q_j = ({0, 1, 2} - bj).pop()
+    s1_i, s2_i = sorted(ai)
+    closure = (verts[a, s1_i] + verts[a, s2_i] - verts[a, p_i])
+    if np.max(np.abs(closure - verts[b, q_j])) <= eps:
+        return p_i
+    return None
+
+
 def detect_shadow_quads(scene, tol: float = 1e-6,
-                        max_triangles: int = 512) -> ShadowQuads | None:
+                        max_triangles: int = 65536) -> ShadowQuads | None:
     """Pair triangles (i, j) that tile a parallelogram and may be merged in
     the occlusion scan. Returns ``(pairs, leftover)`` where each pair is
     ``(tri_a, corner, tri_b)`` — the quad is spanned from triangle a's
@@ -49,6 +72,13 @@ def detect_shadow_quads(scene, tol: float = 1e-6,
     q = s1 + s2 - p (within tol — this also forces coplanarity), and both
     have the same glass/non-glass status (the occlusion scan skips glass:
     ``kernels.cl:247,279``).
+
+    Complexity: small scenes (<= 512 triangles) use the exhaustive
+    tolerance-robust O(T^2) scan; larger (streamed-kernel) scenes use an
+    O(T) shared-edge hash over byte-exact vertex keys — triangulated quad
+    meshes share their diagonal vertices exactly, and every candidate is
+    still verified with the precise epsilon tests, so the hash can only
+    miss borderline pairs, never admit a wrong one.
     """
     try:
         v0 = np.asarray(scene.tri_v0, np.float32)
@@ -67,28 +97,42 @@ def detect_shadow_quads(scene, tol: float = 1e-6,
 
     used = np.zeros(T, bool)
     pairs = []
-    for a in range(T):
-        if used[a]:
-            continue
-        for b in range(a + 1, T):
-            if used[b] or is_glass[a] != is_glass[b]:
+    if T <= 512:
+        for a in range(T):
+            if used[a]:
                 continue
-            matches = [(i, j) for i in range(3) for j in range(3)
-                       if np.max(np.abs(verts[a, i] - verts[b, j])) <= eps]
-            if len(matches) != 2:
+            for b in range(a + 1, T):
+                if used[b]:
+                    continue
+                p_i = _verify_pair(verts, is_glass, eps, a, b)
+                if p_i is not None:
+                    pairs.append((a, p_i, b))
+                    used[a] = used[b] = True
+                    break
+    else:
+        edges: dict = {}
+        for t in range(T):
+            keys = [verts[t, c].tobytes() for c in range(3)]
+            for c in range(3):
+                i, j = [x for x in range(3) if x != c]
+                ek = (min(keys[i], keys[j]), max(keys[i], keys[j]))
+                edges.setdefault(ek, []).append(t)
+        for cands in edges.values():
+            if len(cands) < 2:
                 continue
-            ai = {i for i, _ in matches}
-            bj = {j for _, j in matches}
-            if len(ai) != 2 or len(bj) != 2:
-                continue
-            p_i = ({0, 1, 2} - ai).pop()
-            q_j = ({0, 1, 2} - bj).pop()
-            s1_i, s2_i = sorted(ai)
-            closure = (verts[a, s1_i] + verts[a, s2_i] - verts[a, p_i])
-            if np.max(np.abs(closure - verts[b, q_j])) <= eps:
-                pairs.append((a, p_i, b))
-                used[a] = used[b] = True
-                break
+            for x in range(len(cands)):
+                a = cands[x]
+                if used[a]:
+                    continue
+                for y in range(x + 1, len(cands)):
+                    b = cands[y]
+                    if used[b]:
+                        continue
+                    p_i = _verify_pair(verts, is_glass, eps, a, b)
+                    if p_i is not None:
+                        pairs.append((int(a), p_i, int(b)))
+                        used[a] = used[b] = True
+                        break
     if not pairs:
         return None
     leftover = tuple(int(i) for i in range(T) if not used[i])
