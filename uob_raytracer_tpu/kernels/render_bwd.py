@@ -250,20 +250,38 @@ def _row_unpack(rowp) -> _Row:
                 mat, isf > 0, vaf > 0)
 
 
+def _bwd_segment_len(bounces: int) -> int:
+    """Gate granularity for the bounce-chain replay: the chain is split into
+    segments of this many steps, each behind one per-tile liveness gate
+    (``_gated_chain``). Trade-off, measured on v5e (see _gated_chain's
+    docstring): per-STEP gates (K=1) pay cond machinery per step; ONE gate
+    over the whole chain (K=B) makes step-0-live tiles replay every step
+    ungated — ruinous for deep chains where most live tiles die after 2-3
+    bounces — and its whole-chain VJP blows the 16 MB scoped-VMEM stack at
+    B=10/1024^2. Measured on v5e (glass_fresnel_512, b=4, fwd+bwd):
+    K=1 2.79 ms, K=2 1.73 ms, K=3 1.11 ms, K=5 2.03 ms; full_1024 (b=10)
+    is flat in K (~34-35 ms, bounded elsewhere). Override with
+    UOB_RT_BWD_SEG for sweeps (scripts/bwd_sweep.py)."""
+    import os
+    env = os.environ.get("UOB_RT_BWD_SEG")
+    if env:
+        return max(1, int(env))
+    return 3
+
+
 def _gated_chain(cfg: RenderConfig, n_steps: int):
-    """Whole-bounce-chain replay behind ONE per-tile gate, with a
+    """A bounce-chain replay segment behind ONE per-tile gate, with a
     hand-written VJP.
 
-    Why one gate and not one per step: measured on v5e (all-dead tiles,
-    b=10), per-step custom_vjp gates cost ~2 ms/step — the cond machinery
-    (40+ vector yields per scf.if, plus per-step (rowp, carry) residuals
-    spilled across the primal->cotangent span) exceeds the ~1 ms/step of
-    simply running the step, so gating per step was SLOWER than not gating.
-    Recorded liveness is monotone (the forward loop never revives a lane),
-    so one gate on step 0's liveness is exact: dead tiles (~90% on Cornell)
-    skip the entire chain in both passes, live tiles run every step
-    ungated (their inner dead steps cost ~1 ms/step over only ~10% of
-    tiles).
+    Why gates span segments rather than single steps: measured on v5e
+    (all-dead tiles, b=10), per-step custom_vjp gates cost ~2 ms/step — the
+    cond machinery (40+ vector yields per scf.if, plus per-step (rowp,
+    carry) residuals spilled across the primal->cotangent span) exceeds the
+    ~1 ms/step of simply running the step. Recorded liveness is monotone
+    (the forward loop never revives a lane), so a gate on the segment's
+    FIRST step's liveness is exact for the whole segment: dead tiles (~90%
+    on Cornell at step 0, ~all tiles a few steps in) skip the segment in
+    both passes; live tiles run its steps ungated.
 
     The obvious ``lax.cond(live, chain, identity)`` under ``jax.vjp`` does
     not lower on TPU: partial-eval residualizes the chain's bool masks as
@@ -319,14 +337,15 @@ def _replay_tile(cfg: RenderConfig, cam_vals, prim: _Row, bnc: list[_Row],
     camera gradients flow through cam_vals).
 
     lives: optional per-bounce-step scalar bools (any lane live at step b,
-    from the recorded ids). When given, the ENTIRE chain is skipped via
-    ``_gated_chain`` for tiles dead at step 0 — exact, because recorded ids
+    from the recorded ids). When given, the chain is split into
+    ``_bwd_segment_len`` segments, each skipped via ``_gated_chain`` for
+    tiles dead at the segment's first step — exact, because recorded ids
     are monotone-dead (once every lane of the tile misses at step b, every
     later step records misses too, so the skipped state updates are
-    unobservable) and the gate routes zero cotangents to the dead chain's
-    gathered rows. This is the backward analogue of the forward kernel's
-    per-tile bounce early exit: most Cornell tiles are diffuse-only and
-    pay one scalar test for the whole chain."""
+    unobservable) and each gate routes zero cotangents to its dead
+    segment's gathered rows. This is the backward analogue of the forward
+    kernel's per-tile bounce early exit: most Cornell tiles are
+    diffuse-only and pay one scalar test per segment."""
     pos, normal, rgb, mat, valid = _hit_from_row(prim, start, d)
     # CPU-ref shades ANY hit triangle (skeleton.cpp:268 has no material test)
     prim_diffuse = valid if cfg.cpu_ref else valid & (mat > 0)
@@ -345,9 +364,13 @@ def _replay_tile(cfg: RenderConfig, cam_vals, prim: _Row, bnc: list[_Row],
             for b in range(cfg.bounces):
                 carry = _bounce_step(cfg, bnc[b], carry)
         else:
-            live0f = jnp.where(lives[0], _F(1.0), _F(0.0))
-            carry = _gated_chain(cfg, cfg.bounces)(
-                live0f, tuple(_row_pack(r) for r in bnc), carry)
+            K = _bwd_segment_len(cfg.bounces)
+            rowps = tuple(_row_pack(r) for r in bnc)
+            for s0 in range(0, cfg.bounces, K):
+                s1 = min(s0 + K, cfg.bounces)
+                livef = jnp.where(lives[s0], _F(1.0), _F(0.0))
+                carry = _gated_chain(cfg, s1 - s0)(
+                    livef, rowps[s0:s1], carry)
         (_, _, _, _, _, _, term_valid_f, term_pos, term_nrm, term_rgb,
          weight) = carry
         term_valid = term_valid_f > 0
@@ -617,6 +640,11 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, cfg: RenderConfig,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        # the in-kernel VJP's stack (per-segment carries + row residuals)
+        # can top the default 16 MB scoped-vmem limit for deep chains at
+        # large grids; v5e has 128 MB VMEM — give the compiler headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(tri, sph, cam, off, g, pid, lit, bid)
     if streamed:
