@@ -206,6 +206,126 @@ def bench_scaling(scene, iters: int) -> dict:
     return results
 
 
+_MULTIHOST_WORKER = """
+import dataclasses, json, sys, time
+import numpy as np
+
+num, pid, port, rows, iters = (int(sys.argv[1]), int(sys.argv[2]),
+                               sys.argv[3], int(sys.argv[4]),
+                               int(sys.argv[5]))
+import jax
+if num > 1:
+    from uob_raytracer_tpu.parallel import initialize_multihost
+    initialize_multihost(coordinator=f"127.0.0.1:{port}", num_processes=num,
+                         process_id=pid, timeout_s=60)
+import jax.numpy as jnp
+import uob_raytracer_tpu as rt
+from uob_raytracer_tpu.parallel import make_mesh, image_loss
+
+mesh = make_mesh(dp=len(jax.devices()))
+dp = mesh.shape["dp"]
+cfg = rt.RenderConfig(width=256, height=rows * dp, aa_x=2, aa_y=2,
+                      shadow_samples=10, bounces=1)
+scene = rt.cornell_box(as_numpy=True)   # identical on every process
+target = np.zeros((cfg.height, cfg.width, 3), np.float32)
+
+def loss_grad(s):
+    v, g = jax.value_and_grad(image_loss)(s, target, cfg, mesh, "jnp")
+    return v + sum(jnp.sum(x) * 1e-12 for x in jax.tree_util.tree_leaves(g))
+
+@jax.jit
+def run(s, n):
+    def body(_, carry):
+        acc, s2 = carry
+        s3 = dataclasses.replace(
+            s2, light_pos=s2.light_pos + acc * 1e-12 + 1e-6)
+        return acc + loss_grad(s3), s3
+    acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), s))
+    return acc
+
+def fetch(n):
+    return float(np.asarray(run(scene, n).addressable_shards[0].data))
+
+def best(n):
+    fetch(n)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fetch(n)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+dt = max(best(2 * iters) - best(iters), 1e-9) / iters
+print(json.dumps({"pid": pid, "step_ms": dt * 1e3, "dp": dp}))
+"""
+
+
+def bench_multihost_sim(rows: int = 32, iters: int = 4,
+                        dev_per_proc: int = 2) -> dict:
+    """SIMULATED 2-host weak-scaling efficiency on virtual CPU devices.
+
+    Baseline: one process, dp=dev_per_proc mesh. Scaled: two processes
+    rendezvoused through jax.distributed (the DCN-analogue gloo/grpc
+    backend), dp=2*dev_per_proc global mesh, same rows per shard. Efficiency
+    = T_1proc / T_2proc at fixed per-device work. CAVEAT (printed and
+    recorded): this measures the multi-process collective/runtime overhead
+    of the sharded program on the CPU backend — NOT TPU ICI/DCN bandwidth;
+    real-hardware efficiency needs a real pod slice."""
+    import os
+    import socket
+    import subprocess
+    import tempfile
+
+    def env():
+        e = dict(os.environ)
+        e.pop("PALLAS_AXON_POOL_IPS", None)
+        e["JAX_PLATFORMS"] = "cpu"
+        e["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                          f"{dev_per_proc}")
+        repo = os.path.dirname(os.path.abspath(__file__))
+        e["PYTHONPATH"] = repo + os.pathsep + e.get("PYTHONPATH", "")
+        return e
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(_MULTIHOST_WORKER)
+        script = f.name
+
+    def run(num):
+        procs = [subprocess.Popen(
+            [sys.executable, script, str(num), str(i), str(port),
+             str(rows), str(iters)],
+            env=env(), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True) for i in range(num)]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            if p.returncode != 0:
+                raise RuntimeError(f"multihost-sim worker failed:\n{err}")
+            outs.append(json.loads(out.splitlines()[-1]))
+        return outs
+
+    base = run(1)[0]
+    scaled = run(2)
+    t1 = base["step_ms"]
+    t2 = max(o["step_ms"] for o in scaled)
+    eff = t1 / t2
+    out = {"simulated": True,
+           "note": "2-process weak scaling on virtual CPU devices; measures "
+                   "multi-process collective overhead, not TPU ICI",
+           "per_proc_devices": dev_per_proc, "rows_per_shard": rows,
+           "step_ms_1proc_dp2": round(t1, 3),
+           "step_ms_2proc_dp4": round(t2, 3),
+           "efficiency": round(eff, 4)}
+    print(f"# multihost-sim: 1-proc dp{base['dp']} {t1:.1f} ms vs 2-proc "
+          f"dp{scaled[0]['dp']} {t2:.1f} ms -> weak-scaling efficiency "
+          f"{eff:.1%} (SIMULATED on CPU virtual devices)", file=sys.stderr)
+    os.unlink(script)
+    return out
+
+
 def bench_roofline(scene, iters: int) -> dict:
     """Speed-of-light analysis of the fused forward kernel on this chip:
     analytic VPU vector-op count (flops.py, exact per-step bounce activity
@@ -258,6 +378,10 @@ def main() -> None:
                         f"(one of: {', '.join(baseline_configs())})")
     p.add_argument("--scaling", action="store_true",
                    help="dp-sharded scaling sweep over available devices")
+    p.add_argument("--multihost-sim", action="store_true",
+                   help="SIMULATED 2-process weak-scaling efficiency on "
+                        "virtual CPU devices (spawns subprocesses; "
+                        "clearly-labeled stand-in for a real 2-host run)")
     p.add_argument("--roofline", action="store_true",
                    help="speed-of-light analysis: analytic vector-op count "
                         "vs the measured VPU ceiling")
@@ -287,6 +411,16 @@ def main() -> None:
             "value": res["vpu_utilization_vs_best_chain"], "unit": "fraction",
             "vs_baseline": res["vpu_utilization_vs_best_chain"],
             "roofline": res}))
+        return
+
+    if args.multihost_sim:
+        res = bench_multihost_sim()
+        print(json.dumps({
+            "metric": "SIMULATED 2-process weak-scaling efficiency "
+                      "(CPU virtual devices)",
+            "value": res["efficiency"], "unit": "fraction",
+            "vs_baseline": res["efficiency"] / 0.85,
+            "multihost_sim": res}))
         return
 
     if args.scaling:

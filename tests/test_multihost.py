@@ -38,6 +38,62 @@ WORKER = textwrap.dedent("""
     print(f"OK process={jax.process_index()} devices={n} psum={y}")
 """)
 
+E2E_WORKER = textwrap.dedent("""
+    import sys
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from uob_raytracer_tpu import RenderConfig, cornell_box
+    from uob_raytracer_tpu.parallel import (global_mesh, initialize_multihost,
+                                            render_image_sharded, train_step)
+    from uob_raytracer_tpu.render import render_image
+
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    assert initialize_multihost(coordinator=f"127.0.0.1:{port}",
+                                num_processes=2, process_id=pid,
+                                timeout_s=60)
+    assert jax.process_count() == 2
+    mesh = global_mesh()                  # dp = 4 (2 hosts x 2 devices each)
+    n_dp = mesh.shape["dp"]
+    cfg = RenderConfig(width=32, height=4 * n_dp, aa_x=2, aa_y=2,
+                       shadow_samples=2, bounces=2)
+    # numpy leaves: identical on every process, auto-replicated over the
+    # global mesh (committed jnp arrays would be process-local placements)
+    scene = cornell_box(as_numpy=True)
+
+    # --- sharded render spanning the DCN mesh == local unsharded render ---
+    img = jax.jit(lambda s: render_image_sharded(s, cfg, mesh))(scene)
+    ref = np.asarray(jax.jit(
+        lambda s: render_image(s, cfg, backend="jnp"))(scene))
+    rows = cfg.height // n_dp
+    assert img.addressable_shards, "process owns no image shards"
+    for shard in img.addressable_shards:
+        r0 = shard.index[0].start or 0
+        np.testing.assert_allclose(np.asarray(shard.data),
+                                   ref[r0:r0 + rows], rtol=1e-5, atol=1e-6)
+
+    # --- one training step across processes == the unsharded step ---
+    target = ref * np.float32(0.5)
+    out = train_step(scene, target, cfg, mesh, lr=1e-3)
+
+    def loss_fn(s):
+        d = render_image(s, cfg, backend="jnp") - target
+        return jnp.mean(jnp.square(d))
+
+    loss_ref, grads = jax.jit(jax.value_and_grad(loss_fn))(scene)
+    got_loss = float(np.asarray(out.loss.addressable_shards[0].data))
+    np.testing.assert_allclose(got_loss, float(loss_ref), rtol=1e-5)
+    for name in ("tri_v0", "tri_rgb", "light_pos", "yaw"):
+        want = (np.asarray(getattr(scene, name))
+                - np.float32(1e-3) * np.asarray(getattr(grads, name)))
+        got = np.asarray(
+            getattr(out.scene, name).addressable_shards[0].data)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+    print(f"E2E-OK process={jax.process_index()}")
+""")
+
 ERROR_WORKER = textwrap.dedent("""
     from uob_raytracer_tpu.parallel import initialize_multihost
     try:
@@ -92,6 +148,30 @@ def test_two_process_rendezvous_and_psum(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
         assert "OK process=" in out
+
+
+@pytest.mark.slow
+def test_two_process_render_and_train_step(tmp_path):
+    """End-to-end across the DCN-spanning mesh: two processes (2 virtual CPU
+    devices each) build a global dp=4 mesh, run ``render_image_sharded`` and
+    one ``train_step``, and each asserts its addressable shards equal the
+    single-process unsharded computation (the composition VERDICT r2 called
+    untested)."""
+    port = _free_port()
+    script = tmp_path / "e2e_worker.py"
+    script.write_text(E2E_WORKER)
+    procs = [subprocess.Popen([sys.executable, str(script), str(i),
+                               str(port)],
+                              env=_env(), stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+        assert "E2E-OK" in out
 
 
 def test_rendezvous_error_raises_runtime_error(tmp_path):
