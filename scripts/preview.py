@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Local preview — the optional presentation fallback promised in SURVEY §2d.
+
+The reference presents frames in a live SDL window with vsync
+(``Source/SDLauxiliary.h:73-147``) and animates the light in its event loop
+(``Source/skeleton.cpp:282-361``). On a headless TPU host there is no SDL;
+this script renders the same light animation and either
+
+* assembles an animated GIF (default, viewable anywhere), and/or
+* plays the frames in a local Tk window (``--show``, needs a display).
+
+Usage:
+    python scripts/preview.py                       # preview.gif, 48 frames
+    python scripts/preview.py --width 512 --frames 90 -o cornell.gif
+    python scripts/preview.py --show                # live window (if DISPLAY)
+    python scripts/preview.py --obj assets/ico.obj  # with a loaded OBJ mesh
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def render_frames(args):
+    """Render the light-oscillation sequence (skeleton.cpp:290-298)."""
+    from uob_raytracer_tpu import RenderConfig, cornell_box
+    from uob_raytracer_tpu.render import render
+    from uob_raytracer_tpu.scene import add_triangles, animate_light, load_obj
+
+    cfg = RenderConfig(width=args.width, height=args.width, aa_x=2, aa_y=2,
+                       shadow_samples=args.samples, bounces=args.bounces)
+    scene = cornell_box()
+    if args.obj:
+        scene = add_triangles(scene, *load_obj(args.obj))
+    light_x, lor = float(np.asarray(scene.light_pos)[0]), True
+    frames, t_total = [], 0.0
+    for f in range(args.frames):
+        light_x, lor = animate_light(light_x, lor)
+        s = dataclasses.replace(
+            scene, light_pos=scene.light_pos.at[0].set(light_x))
+        t0 = time.time()
+        out = render(s, cfg)
+        img = np.asarray(out.image)  # device fetch = the SDL present
+        if f > 0:
+            t_total += time.time() - t0
+        u8 = np.clip(255.0 * img, 0, 255).astype(np.uint8)
+        frames.append(u8)
+        print(f"\rframe {f + 1}/{args.frames}", end="", flush=True)
+    if args.frames > 1:
+        dt = t_total / (args.frames - 1)
+        print(f"\nsteady-state {dt * 1e3:.2f} ms/frame = {1 / dt:.1f} FPS")
+    return frames
+
+
+def save_gif(frames, path: str, fps: float) -> bool:
+    try:
+        from PIL import Image
+    except ImportError:
+        print("Pillow not available — writing PPM frames instead "
+              "(view with any image tool)", file=sys.stderr)
+        base = os.path.splitext(path)[0]
+        os.makedirs(base, exist_ok=True)
+        from uob_raytracer_tpu.ops.image import save_ppm
+        for i, f in enumerate(frames):
+            save_ppm(os.path.join(base, f"frame_{i:04d}.ppm"),
+                     f.astype(np.float32) / 255.0)
+        print(f"wrote {len(frames)} frames to {base}/")
+        return False
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=max(int(1000 / fps), 20), loop=0)
+    print(f"wrote {path} ({len(frames)} frames)")
+    return True
+
+
+def show_window(frames, fps: float) -> None:
+    """Best-effort live playback in a Tk window (the SDL-window analogue)."""
+    try:
+        import tkinter as tk
+
+        from PIL import Image, ImageTk
+    except ImportError as e:
+        print(f"--show needs tkinter + Pillow ({e}); falling back to GIF "
+              f"only", file=sys.stderr)
+        return
+    try:
+        root = tk.Tk()
+    except tk.TclError as e:
+        print(f"--show: no display available ({e}); view the GIF instead",
+              file=sys.stderr)
+        return
+    root.title("uob_raytracer_tpu preview (Esc to quit)")
+    label = tk.Label(root)
+    label.pack()
+    photos = [ImageTk.PhotoImage(Image.fromarray(f)) for f in frames]
+    state = {"i": 0}
+
+    def tick():
+        label.configure(image=photos[state["i"]])
+        state["i"] = (state["i"] + 1) % len(photos)
+        root.after(max(int(1000 / fps), 20), tick)
+
+    root.bind("<Escape>", lambda e: root.destroy())
+    tick()
+    root.mainloop()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--frames", type=int, default=48)
+    p.add_argument("--samples", type=int, default=10)
+    p.add_argument("--bounces", type=int, default=10)
+    p.add_argument("--fps", type=float, default=24.0)
+    p.add_argument("--obj", default=None)
+    p.add_argument("--show", action="store_true",
+                   help="play in a local window (needs a display)")
+    p.add_argument("-o", "--out", default="preview.gif")
+    args = p.parse_args(argv)
+    frames = render_frames(args)
+    save_gif(frames, args.out, args.fps)
+    if args.show:
+        show_window(frames, args.fps)
+
+
+if __name__ == "__main__":
+    main()
