@@ -327,23 +327,32 @@ def bench_multihost_sim(rows: int = 32, iters: int = 4,
 
 
 def bench_roofline(scene, iters: int) -> dict:
-    """Speed-of-light analysis of the fused forward kernel on this chip:
-    analytic VPU vector-op count (flops.py, exact per-step bounce activity
-    from recorded residuals) vs the measured chained-FMA VPU ceiling."""
-    from uob_raytracer_tpu.flops import (bounce_tile_fracs_from_residuals,
+    """Speed-of-light analysis of the fused kernels on this chip: analytic
+    VPU vector-op counts (flops.py, exact per-step bounce activity from
+    recorded residuals) vs the measured chained-FMA VPU ceiling — for the
+    forward kernel AND the path-replay backward (bwd time = fwd+bwd step
+    minus the forward frame)."""
+    from uob_raytracer_tpu.flops import (backward_ops,
+                                         bounce_tile_fracs_from_residuals,
                                          forward_ops, measure_vpu_peak)
     from uob_raytracer_tpu.kernels.render_fwd import render_fused_res
 
     cfg = rt.RenderConfig(width=512, height=512, aa_x=2, aa_y=2,
                           shadow_samples=10, bounces=1)
+    n_tri = scene.tri_v0.shape[0]
+    n_sph = scene.sph_center.shape[0]
     _, _, res = render_fused_res(scene, cfg)
     fracs = bounce_tile_fracs_from_residuals(res, cfg.bounces)
-    ops = forward_ops(cfg, scene.tri_v0.shape[0],
-                      scene.sph_center.shape[0], fracs)
+    ops = forward_ops(cfg, n_tri, n_sph, fracs)
+    bops = backward_ops(cfg, n_tri, n_sph, fracs)
     dt = time_scalar_fn(_fwd_scalar(cfg, "pallas"), scene, iters)
+    dt_step = time_scalar_fn(_step_scalar(cfg, "pallas"), scene,
+                             max(4, iters // 2))
+    dt_bwd = max(dt_step - dt, 1e-9)
     peaks = measure_vpu_peak()
     peak = max(peaks.values())
     util = ops["total"] / dt / peak
+    butil = bops["total"] / dt_bwd / peak
     out = {
         "ops_per_frame": ops["total"],
         "per_lane_ops": ops["per_lane"],
@@ -352,14 +361,26 @@ def bench_roofline(scene, iters: int) -> dict:
         "achieved_ops_s": round(ops["total"] / dt),
         "vpu_peak_ops_s": {k: round(v) for k, v in peaks.items()},
         "vpu_utilization_vs_best_chain": round(util, 4),
+        "bwd": {
+            "ops_per_pass": bops["total"],
+            "per_lane_ops": bops["per_lane"],
+            "bwd_ms": round(dt_bwd * 1e3, 3),
+            "achieved_ops_s": round(bops["total"] / dt_bwd),
+            "vpu_utilization_vs_best_chain": round(butil, 4),
+        },
     }
-    print(f"# roofline: {ops['total']/1e9:.2f} G vector-ops/frame "
+    print(f"# roofline fwd: {ops['total']/1e9:.2f} G vector-ops/frame "
           f"(per-lane {ops['per_lane']}), frame {dt*1e3:.2f} ms -> "
           f"{ops['total']/dt/1e12:.2f} T ops/s vs measured VPU ceilings "
           f"fma {peaks['fma']/1e12:.2f} / add {peaks['add']/1e12:.2f} "
           f"T ops/s = {util:.1%} of the best single-op chain "
           f"(>100% = VPU co-issue across units; issue-bound)",
           file=sys.stderr)
+    print(f"# roofline bwd: {bops['total']/1e9:.2f} G vector-ops/pass "
+          f"(per-lane {bops['per_lane']}), bwd {dt_bwd*1e3:.2f} ms -> "
+          f"{bops['total']/dt_bwd/1e12:.2f} T ops/s = {butil:.1%} of the "
+          f"best single-op chain (op counts carry ±15-20% hand-count "
+          f"uncertainty)", file=sys.stderr)
     return out
 
 
@@ -406,8 +427,12 @@ def main() -> None:
 
     if args.roofline:
         res = bench_roofline(scene, args.iters)
+        # NOTE: "value" here is a VPU-utilization fraction (target 1.0),
+        # not a rays/s-vs-target ratio like the default bench output —
+        # the metric string and the "roofline" payload carry the detail.
         print(json.dumps({
-            "metric": "VPU utilization (fused fwd kernel, 512^2 aa4 s10 b1)",
+            "metric": "VPU utilization vs best single-op chain "
+                      "(fused fwd kernel, 512^2 aa4 s10 b1; target 1.0)",
             "value": res["vpu_utilization_vs_best_chain"], "unit": "fraction",
             "vs_baseline": res["vpu_utilization_vs_best_chain"],
             "roofline": res}))

@@ -146,6 +146,34 @@ def test_quirk_mode_grads_finite(scene):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_tangent_ray_sphere_grads_finite():
+    """Exact-tangent sphere hits (disc == 0 — representable at f32, and
+    observed in the wild at 1024^2) must not leak sqrt'(0) = inf into the
+    sphere-quadratic gradients (regression: ops/intersect._sphere_roots,
+    render_bwd._hit_from_row)."""
+    from uob_raytracer_tpu.ops.intersect import _sphere_roots, prepare_scene
+
+    scene = cornell_box()
+    # start=(0,0,-2), d=(0,0,1), center=(1,0,0), r2=1: disc = 16-16 = 0
+    sc = dataclasses.replace(
+        scene,
+        sph_center=jnp.array([[1.0, 0.0, 0.0]], jnp.float32),
+        sph_r2=jnp.array([1.0], jnp.float32),
+        sph_rgb=jnp.ones((1, 3), jnp.float32),
+        sph_mat=jnp.ones((1,), jnp.float32))
+    start = jnp.array([[0.0, 0.0, -2.0]], jnp.float32)
+    d = jnp.array([[0.0, 0.0, 1.0]], jnp.float32)
+
+    def root(r2):
+        ds = prepare_scene(dataclasses.replace(
+            sc, sph_r2=jnp.array([r2], jnp.float32)))
+        xmin, xmax, no_sol = _sphere_roots(ds, start, d)
+        return jnp.sum(jnp.where(no_sol, 0.0, xmin))
+
+    v, g = jax.value_and_grad(root)(jnp.float32(1.0))
+    assert np.isfinite(float(v)) and np.isfinite(float(g)), (v, g)
+
+
 def test_vertex_grad_flows_through_normals(scene):
     # Moving a wall vertex changes its normal and thus the Lambert term:
     # with hard geometry but soft shading the vertex gradient must be

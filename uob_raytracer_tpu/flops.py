@@ -73,6 +73,48 @@ def forward_ops(cfg: RenderConfig, n_tri: int, n_sph: int,
     }
 
 
+# per-lane vector ops of the path-replay backward kernel
+# (kernels/render_bwd.py, dynamic-depth chain design), hand-counted to the
+# same rules as the forward table. Reverse-mode factors: a jax.vjp over a
+# straight-line block costs ~3x its primal (primal recompute + transpose).
+BWD_GATHER_PER_TRI = 17      # per-object select-accumulate (_gather_row)
+BWD_GATHER_PER_SPH = 8
+BWD_F1 = 480                 # ray gen + _hit_from_row primal + vjp (3x ~160)
+BWD_F3 = 240                 # _shade_tile primal + vjp (3x ~80)
+BWD_SCATTER_PER_TRI = 2      # per-object any() test (masked-sum gate)
+BWD_SCATTER_HIT = 150        # ~5 hit objects x 15 masked sums x ~2 ops/lane
+BWD_STEP_FWD = 255           # _bounce_step + _hit_from_row + carry store
+BWD_STEP_BWD = 760           # step vjp (3x) + carry load
+BWD_FIXED = 80               # residual loads, id casts, liveness, img store
+
+
+def backward_ops(cfg: RenderConfig, n_tri: int, n_sph: int,
+                 bounce_tile_fracs=None) -> dict:
+    """Vector-op breakdown for one backward pass of the fused kernel.
+
+    The dynamic-depth chain executes each bounce step only on tiles still
+    live there (sum of ``bounce_tile_fracs``), in BOTH the forward replay
+    and the reverse sweep; dead tiles pay nothing per bounce. Same ±15-20%
+    hand-count uncertainty as ``forward_ops``."""
+    lanes = cfg.width * cfg.height * cfg.aa_rays
+    gather = n_tri * BWD_GATHER_PER_TRI + n_sph * BWD_GATHER_PER_SPH
+    scatter = n_tri * BWD_SCATTER_PER_TRI + BWD_SCATTER_HIT
+    if bounce_tile_fracs is None:
+        bounce_tile_fracs = [0.14 * 0.5 ** b for b in range(cfg.bounces)]
+    live = float(np.sum(bounce_tile_fracs[:cfg.bounces]))
+    per_step = (2 * gather              # regathered in fwd and reverse
+                + BWD_STEP_FWD + BWD_STEP_BWD + scatter)
+    per_lane = (gather + BWD_F1 + BWD_F3 + scatter   # primary site
+                + live * per_step + BWD_FIXED)
+    return {
+        "lanes": lanes,
+        "per_lane": {"prim": gather + BWD_F1 + BWD_F3 + scatter,
+                     "chain": round(live * per_step, 1),
+                     "fixed": BWD_FIXED},
+        "total": lanes * per_lane,
+    }
+
+
 def measure_vpu_peak(iters: int = 20) -> dict:
     """Empirical VPU f32 ceilings of this chip, in vector ops/s (FMA = 1 op).
 

@@ -81,7 +81,7 @@ class _Row:
                     self.mat, self.is_sph, self.valid)
 
 
-def _gather_row(tri_scan, sph_ref, n_tri: int, n_sph: int, ids, live=None):
+def _gather_row(tri_scan, sph_ref, n_tri: int, n_sph: int, ids):
     """Select-accumulate the row of the object each lane hit (id encoding as
     ops/replay.py: 0..T-1 triangle, T+s sphere, -1 miss).
 
@@ -89,12 +89,9 @@ def _gather_row(tri_scan, sph_ref, n_tri: int, n_sph: int, ids, live=None):
     ``_smem_tri_scan`` for whole-table scenes, ``_streamed_tri_scan`` for
     HBM-resident tables) — a runtime loop with dynamic indexing, so
     trace/compile time is O(1) in the triangle count (the Python unroll it
-    replaces was ~16 masked selects *per triangle*).
-
-    live: optional scalar bool — when False the whole tile recorded misses
-    at this site and the table scan is skipped (every lane gets the miss
-    row). The bounce-site analogue of the forward kernel's per-tile
-    early exit."""
+    replaces was ~16 masked selects *per triangle*). Bounce-site gathers
+    run inside the dynamic-depth chain loops of ``_bwd_kernel``, so only
+    live steps ever reach this scan."""
     shape = ids.shape
     zero = jnp.zeros(shape, _F)
     # Triangle-lane ids as f32 (exact below 2^24), non-triangle lanes mapped
@@ -109,11 +106,7 @@ def _gather_row(tri_scan, sph_ref, n_tri: int, n_sph: int, ids, live=None):
         return new + (jnp.where(m, get(15), carry[15]),)
 
     init = (zero,) * 15 + (jnp.ones(shape, _F),)  # miss row: mat=1
-    if live is None:
-        flat = tri_scan(body, init)
-    else:
-        flat = jax.lax.cond(live, lambda: tri_scan(body, init),
-                            lambda: init)
+    flat = tri_scan(body, init)
     v0, e1, e2 = tuple(flat[0:3]), tuple(flat[3:6]), tuple(flat[6:9])
     n, rgb, mat = tuple(flat[9:12]), tuple(flat[12:15]), flat[15]
     r2 = zero
@@ -147,7 +140,12 @@ def _hit_from_row(row: _Row, start, d):
     c_q = _dot(L, L) - row.r2
     disc = b_q * b_q - _F(4.0) * a_q * c_q
     no_sol = disc < 0
-    sq = jnp.sqrt(jnp.where(no_sol | ~row.is_sph, _F(1.0), disc))
+    # disc == 0 short-circuits the sqrt: its inf derivative poisons every
+    # sphere-quadratic input's gradient (observed at 1024^2 b10 — tangent
+    # lanes exist at f32); zero one-sided derivative instead.
+    sq_zero = disc == 0
+    sq = jnp.sqrt(jnp.where(no_sol | sq_zero | ~row.is_sph, _F(1.0), disc))
+    sq = jnp.where(sq_zero, _F(0.0), sq)
     q = jnp.where(b_q > 0, _F(-0.5) * (b_q + sq), _F(-0.5) * (b_q - sq))
     qz = q == 0
     x0 = q / jnp.where(a_q == 0, _F(1.0), a_q)
@@ -193,7 +191,9 @@ def _bounce_step(cfg: RenderConfig, row_b: _Row, carry):
     nr = n1 / n2
     k = _F(1.0) - nr * nr * (_F(1.0) - c1a * c1a)
     tir = k < 0
-    c2 = jnp.sqrt(jnp.where(tir, _F(1.0), k))
+    kz = k == 0   # grazing TIR boundary: kill the inf sqrt grad
+    c2 = jnp.sqrt(jnp.where(tir | kz, _F(1.0), k))
+    c2 = jnp.where(kz, _F(0.0), c2)
     refr = _add(_scale(nr, cur_d),
                 _scale(nr * c1a - c2, _scale(_F(-1.0), nflip)))
     is_mirror = cur_mat == 0
@@ -236,151 +236,49 @@ def _bounce_step(cfg: RenderConfig, row_b: _Row, carry):
             term_pos, term_nrm, term_rgb, weight)
 
 
-def _row_pack(row: _Row):
-    """_Row → all-f32 pytree (custom_vjp inputs must not be bool: bool
-    cotangents are float0, which has no in-kernel representation)."""
-    one = lambda m: jnp.where(m, _F(1.0), _F(0.0))
-    return (row.diff_inputs(), row.mat, one(row.is_sph), one(row.valid))
+# --------------------------------------------------------------------------
+# Carry pytree helpers for the dynamic-depth chain
+# --------------------------------------------------------------------------
+
+# bounce-chain carry: (cur_d, cur_pos, cur_nrm, cur_mat, medium, active_f,
+# term_valid_f, term_pos, term_nrm, term_rgb, weight) with 3-vectors as
+# component tuples -> 23 (A, TILE_H, TILE_W) f32 leaves. Bool masks ride as
+# f32 0/1 flags (_bounce_step's contract); the stacked [23, A, TH, TW] form
+# crosses loop boundaries and the per-step scratch.
+
+_CARRY_LEAVES = 23
 
 
-def _row_unpack(rowp) -> _Row:
-    diff, mat, isf, vaf = rowp
-    return _Row(tuple(diff[0:3]), tuple(diff[3:6]), tuple(diff[6:9]),
-                tuple(diff[9:12]), tuple(diff[12:15]), diff[15],
-                mat, isf > 0, vaf > 0)
+def _stack_carry(carry):
+    return jnp.stack(jax.tree_util.tree_leaves(carry))
 
 
-def _bwd_segment_len(bounces: int) -> int:
-    """Gate granularity for the bounce-chain replay: the chain is split into
-    segments of this many steps, each behind one per-tile liveness gate
-    (``_gated_chain``). Trade-off, measured on v5e (see _gated_chain's
-    docstring): per-STEP gates (K=1) pay cond machinery per step; ONE gate
-    over the whole chain (K=B) makes step-0-live tiles replay every step
-    ungated — ruinous for deep chains where most live tiles die after 2-3
-    bounces — and its whole-chain VJP blows the 16 MB scoped-VMEM stack at
-    B=10/1024^2. Measured on v5e (glass_fresnel_512, b=4, fwd+bwd):
-    K=1 2.79 ms, K=2 1.73 ms, K=3 1.11 ms, K=5 2.03 ms; full_1024 (b=10)
-    is flat in K (~34-35 ms, bounded elsewhere). Override with
-    UOB_RT_BWD_SEG for sweeps (scripts/bwd_sweep.py)."""
-    import os
-    env = os.environ.get("UOB_RT_BWD_SEG")
-    if env:
-        return max(1, int(env))
-    return 3
-
-
-def _gated_chain(cfg: RenderConfig, n_steps: int):
-    """A bounce-chain replay segment behind ONE per-tile gate, with a
-    hand-written VJP.
-
-    Why gates span segments rather than single steps: measured on v5e
-    (all-dead tiles, b=10), per-step custom_vjp gates cost ~2 ms/step — the
-    cond machinery (40+ vector yields per scf.if, plus per-step (rowp,
-    carry) residuals spilled across the primal->cotangent span) exceeds the
-    ~1 ms/step of simply running the step. Recorded liveness is monotone
-    (the forward loop never revives a lane), so a gate on the segment's
-    FIRST step's liveness is exact for the whole segment: dead tiles (~90%
-    on Cornell at step 0, ~all tiles a few steps in) skip the segment in
-    both passes; live tiles run its steps ungated.
-
-    The obvious ``lax.cond(live, chain, identity)`` under ``jax.vjp`` does
-    not lower on TPU: partial-eval residualizes the chain's bool masks as
-    cond outputs, and Mosaic cannot yield i1 vectors from an scf.if (nor
-    does it lower ``remat2``, ruling out jax.checkpoint). This custom_vjp
-    keeps every bool inside a branch body: the primal cond yields only the
-    f32 carry, and the backward cond's live branch *recomputes* the chain
-    forward and transposes it in place (rematerialization by hand). The
-    dead branch is the identity transpose: dcarry = g, drows = 0."""
-
-    @jax.custom_vjp
-    def gated(livef, rowps, carry):
-        def live(c):
-            for b in range(n_steps):
-                c = _bounce_step(cfg, _row_unpack(rowps[b]), c)
-            return c
-        return jax.lax.cond(livef > 0, live, lambda c: c, carry)
-
-    def fwd(livef, rowps, carry):
-        return gated(livef, rowps, carry), (livef, rowps, carry)
-
-    def bwd(saved, g):
-        livef, rowps, carry = saved
-        diffs = tuple(rp[0] for rp in rowps)
-        rests = tuple(rp[1:] for rp in rowps)
-
-        def live_fn():
-            def h(dds, cc):
-                for b in range(n_steps):
-                    cc = _bounce_step(
-                        cfg, _row_unpack((dds[b],) + rests[b]), cc)
-                return cc
-            _, vjp = jax.vjp(h, diffs, carry)
-            return vjp(g)
-
-        def dead_fn():
-            return (jax.tree_util.tree_map(jnp.zeros_like, diffs), g)
-
-        ddiffs, dcarry = jax.lax.cond(livef > 0, live_fn, dead_fn)
-        drowps = tuple(
-            (dd,) + jax.tree_util.tree_map(jnp.zeros_like, rest)
-            for dd, rest in zip(ddiffs, rests))
-        return (jnp.zeros_like(livef), drowps, dcarry)
-
-    gated.defvjp(fwd, bwd)
-    return gated
-
-
-def _replay_tile(cfg: RenderConfig, cam_vals, prim: _Row, bnc: list[_Row],
-                 d, start, lit, lives=None):
-    """Tile radiance from recorded decisions — ops/replay.py:replay_forward
-    from the primary intersection onward (ray gen happens in the caller so
-    camera gradients flow through cam_vals).
-
-    lives: optional per-bounce-step scalar bools (any lane live at step b,
-    from the recorded ids). When given, the chain is split into
-    ``_bwd_segment_len`` segments, each skipped via ``_gated_chain`` for
-    tiles dead at the segment's first step — exact, because recorded ids
-    are monotone-dead (once every lane of the tile misses at step b, every
-    later step records misses too, so the skipped state updates are
-    unobservable) and each gate routes zero cotangents to its dead
-    segment's gathered rows. This is the backward analogue of the forward
-    kernel's per-tile bounce early exit: most Cornell tiles are
-    diffuse-only and pay one scalar test per segment."""
-    pos, normal, rgb, mat, valid = _hit_from_row(prim, start, d)
-    # CPU-ref shades ANY hit triangle (skeleton.cpp:268 has no material test)
-    prim_diffuse = valid if cfg.cpu_ref else valid & (mat > 0)
-    shape = d[0].shape
+def _carry_treedef(shape):
     zero = jnp.zeros(shape, _F)
+    z3 = (zero, zero, zero)
+    proto = (z3, z3, z3, zero, zero, zero, zero, z3, z3, z3, zero)
+    return jax.tree_util.tree_structure(proto)
 
-    term_valid = jnp.zeros(shape, bool)
-    term_pos = term_nrm = term_rgb = (zero, zero, zero)
-    weight = jnp.ones(shape, _F)
-    if cfg.bounces > 0:
-        carry = (d, pos, normal, mat, jnp.full(shape, _F(cfg.ior_air)),
-                 jnp.where(valid & (mat <= 0), _F(1.0), _F(0.0)),
-                 jnp.zeros(shape, _F), term_pos, term_nrm,
-                 term_rgb, weight)
-        if lives is None:
-            for b in range(cfg.bounces):
-                carry = _bounce_step(cfg, bnc[b], carry)
-        else:
-            K = _bwd_segment_len(cfg.bounces)
-            rowps = tuple(_row_pack(r) for r in bnc)
-            for s0 in range(0, cfg.bounces, K):
-                s1 = min(s0 + K, cfg.bounces)
-                livef = jnp.where(lives[s0], _F(1.0), _F(0.0))
-                carry = _gated_chain(cfg, s1 - s0)(
-                    livef, rowps[s0:s1], carry)
-        (_, _, _, _, _, _, term_valid_f, term_pos, term_nrm, term_rgb,
-         weight) = carry
-        term_valid = term_valid_f > 0
 
-    light = (cam_vals[12], cam_vals[13], cam_vals[14])
-    light_rgb = (cam_vals[15], cam_vals[16], cam_vals[17])
-    indirect = (cam_vals[18], cam_vals[19], cam_vals[20])
+def _unstack_carry(carr, treedef):
+    return jax.tree_util.tree_unflatten(
+        treedef, [carr[t] for t in range(_CARRY_LEAVES)])
 
-    sp_pos = _where3(prim_diffuse, pos, term_pos)
-    sp_nrm = _where3(prim_diffuse, normal, term_nrm)
+
+def _shade_tile(cfg: RenderConfig, cam_in, prim_diffuse, term_valid, lit,
+                p_pos, p_nrm, p_rgb, t_pos, t_nrm, t_rgb, weight):
+    """Tile radiance from the primary hit and the chain terminals —
+    the shading tail of ops/replay.py:replay_forward (direct light with
+    frozen lit counts, kernels.cl:313-340; terminal combine 353-355;
+    AA mean 427). Pure in its array arguments so it sits under jax.vjp;
+    prim_diffuse/term_valid/lit are frozen closures."""
+    shape = p_pos[0].shape
+    light = (cam_in[12], cam_in[13], cam_in[14])
+    light_rgb = (cam_in[15], cam_in[16], cam_in[17])
+    indirect = (cam_in[18], cam_in[19], cam_in[20])
+
+    sp_pos = _where3(prim_diffuse, p_pos, t_pos)
+    sp_nrm = _where3(prim_diffuse, p_nrm, t_nrm)
     lb = tuple(jnp.broadcast_to(jnp.reshape(c, (1, 1, 1)), shape)
                for c in light)
     sdir = _sub(lb, sp_pos)
@@ -394,14 +292,15 @@ def _replay_tile(cfg: RenderConfig, cam_vals, prim: _Row, bnc: list[_Row],
 
     color = tuple(
         jnp.where(prim_diffuse,
-                  rgb[c] * (jnp.reshape(indirect[c], (1, 1, 1)) + dl[c]),
+                  p_rgb[c] * (jnp.reshape(indirect[c], (1, 1, 1)) + dl[c]),
                   0.0) for c in range(3))
     color = tuple(
         jnp.where(term_valid,
                   _F(0.9) * (jnp.reshape(indirect[c], (1, 1, 1)) + dl[c])
-                  * term_rgb[c] * weight, color[c]) for c in range(3))
+                  * t_rgb[c] * weight, color[c]) for c in range(3))
     inv_a = _F(1.0 / cfg.aa_rays)
     return tuple(jnp.sum(c, axis=0) * inv_a for c in color)
+
 
 
 # --------------------------------------------------------------------------
@@ -415,12 +314,13 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         # Triangle cotangents leave the kernel as per-lane tiles
         # (dlane_ref); the caller segment-sums them into the table — the
         # table-shaped accumulator would not fit SMEM at streamed scale.
-        dsph_ref, dcam_ref, img_ref, dlane_ref, tri_buf, tri_sems = refs
+        (dsph_ref, dcam_ref, img_ref, dlane_ref, tri_buf, tri_sems,
+         chain_scr) = refs
         dtri_ref = None
         tri_scan = _streamed_tri_scan(tri_ref, tri_buf, tri_sems,
                                       tri_ref.shape[0])
     else:
-        dtri_ref, dsph_ref, dcam_ref, img_ref = refs
+        dtri_ref, dsph_ref, dcam_ref, img_ref, chain_scr = refs
         dlane_ref = None
         tri_scan = (_unrolled_tri_scan if n_tri <= UNROLL_TRIANGLES
                     else _smem_tri_scan)(tri_ref, n_tri)
@@ -451,20 +351,20 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
     lit = lit_ref[...]
     g = (g_ref[0], g_ref[1], g_ref[2])
 
-    # --- gathers (non-differentiable) ---
-    # Bounce sites are gated on per-tile liveness (any recorded hit): dead
-    # sites skip both the table scan here and the replay step (+ its vjp)
-    # inside f below — the backward twin of the forward's tile early exit.
+    # --- liveness (monotone: the forward loop never revives a lane) ---
+    # n_live = number of bounce steps any lane of this tile executed. The
+    # chain below runs EXACTLY that many iterations in both passes — dead
+    # tiles (most of the grid) skip the chain entirely, and no per-step
+    # rows, conds or cotangent tiles exist for steps past n_live (the
+    # per-bounce dead-site machinery of earlier designs cost ~2-3 ms per
+    # bounce at 1024^2 regardless of gating granularity).
+    B = cfg.bounces
     prim = _gather_row(tri_scan, sph_ref, n_tri, n_sph, pid)
-    bnc, bids, lives = [], [], []
-    if cfg.bounces > 0:
-        for b in range(cfg.bounces):
-            ids_b = bid_ref[b]
-            live_b = jnp.max(ids_b) >= 0
-            bids.append(ids_b)
-            lives.append(live_b)
-            bnc.append(_gather_row(tri_scan, sph_ref, n_tri, n_sph, ids_b,
-                                   live=live_b))
+    if B > 0:
+        n_live = jnp.int32(0)
+        for b in range(B):
+            n_live += jnp.where(jnp.max(bid_ref[b]) >= 0, 1, 0).astype(
+                jnp.int32)
 
     # --- non-differentiable ray-gen pieces (pixel coordinates) ---
     ys = (off_ref[0] + i * TILE_H
@@ -482,7 +382,8 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
 
     cam_vals = tuple(cam_ref[k] for k in range(CAM_COLS))
 
-    def f(cam_in, prim_in, bnc_in):
+    # --- part 1: ray gen + primary reconstruction (under jax.vjp) ---
+    def f1(cam_in, prim_in):
         r0 = (cam_in[0], cam_in[1], cam_in[2])
         r1 = (cam_in[3], cam_in[4], cam_in[5])
         r2 = (cam_in[6], cam_in[7], cam_in[8])
@@ -493,19 +394,52 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
             d = (d[0] / dlen, d[1] / dlen, d[2] / dlen)
         start = tuple(jnp.broadcast_to(jnp.reshape(cam_in[9 + c], (1, 1, 1)),
                                        shape) for c in range(3))
-        prim_row = prim.with_diff(prim_in)
-        bnc_rows = [bnc[b].with_diff(bnc_in[b]) for b in range(len(bnc))]
-        return _replay_tile(cfg, cam_in, prim_row, bnc_rows, d, start, lit,
-                            lives=lives)
+        pos, normal, rgb, _, _ = _hit_from_row(prim.with_diff(prim_in),
+                                               start, d)
+        return d, pos, normal, rgb
 
-    primal, vjp = jax.vjp(f, cam_vals, prim.diff_inputs(),
-                          tuple(r.diff_inputs() for r in bnc))
+    (d, pos, normal, rgb), vjp1 = jax.vjp(f1, cam_vals, prim.diff_inputs())
+    mat, valid = prim.mat, prim.valid
+    # CPU-ref shades ANY hit triangle (skeleton.cpp:268 has no material test)
+    prim_diffuse = valid if cfg.cpu_ref else valid & (mat > 0)
+
+    # --- part 2 forward: dynamic-depth bounce chain, carries to scratch ---
+    zero = jnp.zeros(shape, _F)
+    z3 = (zero, zero, zero)
+    term_valid_f, term_pos, term_nrm, term_rgb = zero, z3, z3, z3
+    weight = jnp.ones(shape, _F)
+    if B > 0:
+        treedef = _carry_treedef(shape)
+        carry0 = (d, pos, normal, mat,
+                  jnp.full(shape, _F(cfg.ior_air)),
+                  jnp.where(valid & (mat <= 0), _F(1.0), _F(0.0)),
+                  zero, z3, z3, z3, weight)
+
+        def fbody(k, carr):
+            ids_k = bid_ref[pl.ds(k, 1)][0]
+            row = _gather_row(tri_scan, sph_ref, n_tri, n_sph, ids_k)
+            chain_scr[pl.ds(k, 1)] = carr[None]   # carry INTO step k
+            c2 = _bounce_step(cfg, row, _unstack_carry(carr, treedef))
+            return _stack_carry(c2)
+
+        carrN = jax.lax.fori_loop(0, n_live, fbody, _stack_carry(carry0))
+        (_, _, _, _, _, _, term_valid_f, term_pos, term_nrm, term_rgb,
+         weight) = _unstack_carry(carrN, treedef)
+    term_valid = term_valid_f > 0
+
+    # --- part 3: shading (under jax.vjp) ---
+    def f3(cam_in, p_pos, p_nrm, p_rgb, t_pos, t_nrm, t_rgb, w):
+        return _shade_tile(cfg, cam_in, prim_diffuse, term_valid, lit,
+                           p_pos, p_nrm, p_rgb, t_pos, t_nrm, t_rgb, w)
+
+    primal, vjp3 = jax.vjp(f3, cam_vals, pos, normal, rgb,
+                           term_pos, term_nrm, term_rgb, weight)
     img_ref[0] = primal[0]
     img_ref[1] = primal[1]
     img_ref[2] = primal[2]
-    dcam, dprim, dbnc = vjp(g)
+    (dcam3, dpos3, dnrm3, drgb3, dt_pos, dt_nrm, dt_rgb, dw) = vjp3(g)
 
-    # --- scatter ---
+    # --- scatter helpers ---
     # Sphere cotangents: SMEM accumulates (spheres are always few).
     def scatter_sph(ids, dflat):
         for s in range(n_sph):
@@ -521,12 +455,11 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
                 dsph_ref[s, 3] += jnp.sum(mf * dflat[15])   # r2
 
     if streamed:
-        # Triangle cotangents: written per lane; the caller segment-sums
-        # them over recorded ids (lanes with id < 0 or a sphere id carry
-        # zero weight there).
-        def scatter_tri(site, dflat):
+        # Triangle cotangents: written per lane at the (possibly traced)
+        # site index; the caller segment-sums them over recorded ids.
+        def scatter_tri(site, dflat, ids=None):
             for c in range(16):
-                dlane_ref[site * 16 + c] = dflat[c]
+                dlane_ref[pl.ds(site * 16 + c, 1)] = dflat[c][None]
     else:
         # Triangle cotangents: per-object masked sums into the SMEM table.
         # The pl.when gate skips the 15 tile reductions for every object no
@@ -551,27 +484,57 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
                     return 0
                 jax.lax.fori_loop(0, n_tri, body, 0)
 
-    if streamed:
-        scatter_tri(0, dprim)
-        scatter_sph(pid, dprim)
-        for b in range(len(bnc)):
-            scatter_tri(1 + b, dbnc[b])
+    # --- part 2 backward: reverse dynamic loop with in-loop scatter ---
+    if B > 0:
+        if streamed:
+            # dead bounce sites are never written by the reverse loop; the
+            # caller's segment-sum masks them by recorded id, so they only
+            # need to hold non-NaN values
+            def zdead(b, _):
+                @pl.when(b >= n_live)
+                def _():
+                    for c in range(16):
+                        dlane_ref[pl.ds((1 + b) * 16 + c, 1)] = zero[None]
+                return 0
+            jax.lax.fori_loop(0, B, zdead, 0)
 
-            @pl.when(lives[b])
-            def _(b=b):
-                scatter_sph(bids[b], dbnc[b])
+        dcarryN = (z3, z3, z3, zero, zero, zero, zero,
+                   dt_pos, dt_nrm, dt_rgb, dw)
+
+        def rbody(i2, dcarr):
+            k = n_live - 1 - i2
+            ids_k = bid_ref[pl.ds(k, 1)][0]
+            row = _gather_row(tri_scan, sph_ref, n_tri, n_sph, ids_k)
+            carr_k = chain_scr[pl.ds(k, 1)][0]
+
+            def step(diffs, carr_in):
+                c2 = _bounce_step(cfg, row.with_diff(diffs),
+                                  _unstack_carry(carr_in, treedef))
+                return _stack_carry(c2)
+
+            _, vjpk = jax.vjp(step, row.diff_inputs(), carr_k)
+            drow, dcarr_prev = vjpk(dcarr)
+            scatter_tri(1 + k, drow, ids_k)
+            scatter_sph(ids_k, drow)
+            return dcarr_prev
+
+        dcarr0 = jax.lax.fori_loop(0, n_live, rbody,
+                                   _stack_carry(dcarryN))
+        (dd_c, dpos_c, dnrm_c, _, _, _, _, _, _, _, _) = _unstack_carry(
+            dcarr0, treedef)
     else:
-        scatter_tri(0, dprim, pid)
-        scatter_sph(pid, dprim)
-        for b in range(len(bnc)):
-            # most tiles exit the bounce loop at once — skip their scatter
-            @pl.when(lives[b])
-            def _(b=b):
-                scatter_tri(1 + b, dbnc[b], bids[b])
-                scatter_sph(bids[b], dbnc[b])
+        dd_c, dpos_c, dnrm_c = z3, z3, z3
+
+    # --- part 1 backward: summed cotangents from shading and the chain ---
+    dcam1, dprim = vjp1((dd_c, _add(dpos3, dpos_c), _add(dnrm3, dnrm_c),
+                         drgb3))
+    scatter_tri(0, dprim, pid)
+    scatter_sph(pid, dprim)
 
     for k in range(CAM_COLS):
-        dcam_ref[0, k] += dcam[k]
+        dcam_ref[0, k] += dcam1[k] + dcam3[k]
+
+
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_tri", "n_sph", "hp",
@@ -606,7 +569,9 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, cfg: RenderConfig,
             jax.ShapeDtypeStruct((sites * 16, A, hp, wp), jnp.float32),
         ]
         scratch = [pltpu.SMEM((2, STREAM_BLK, STREAM_COLS), jnp.float32),
-                   pltpu.SemaphoreType.DMA((2,))]
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.VMEM((B, _CARRY_LEAVES, A, TILE_H, TILE_W),
+                              jnp.float32)]
         tri_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     else:
         out_specs = [
@@ -618,7 +583,8 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, cfg: RenderConfig,
             jax.ShapeDtypeStruct((n_tri, TRI_COLS), jnp.float32),
             sph_shape, cam_shape, img_shape,
         ]
-        scratch = []
+        scratch = [pltpu.VMEM((B, _CARRY_LEAVES, A, TILE_H, TILE_W),
+                              jnp.float32)]
         tri_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kernel,
@@ -640,9 +606,9 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, cfg: RenderConfig,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        # the in-kernel VJP's stack (per-segment carries + row residuals)
-        # can top the default 16 MB scoped-vmem limit for deep chains at
-        # large grids; v5e has 128 MB VMEM — give the compiler headroom
+        # headroom above the default 16 MB scoped-vmem limit: the chain
+        # scratch plus the per-step vjp's live values can top it at deep
+        # chains; v5e has 128 MB VMEM
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,

@@ -116,8 +116,13 @@ def _sphere_roots(ds: DeviceScene, start, d):
     no_sol = disc < 0
     # Route miss lanes through sqrt(1): sqrt(max(disc,0)) would be exact too,
     # but its backward at clamped lanes is inf * 0 = NaN. Valid lanes see the
-    # exact sqrt(disc).
-    sq = jnp.sqrt(jnp.where(no_sol, jnp.float32(1.0), disc))
+    # exact sqrt(disc). disc == 0 (exact tangent — reachable at f32, e.g.
+    # axis-aligned grazing rays) also short-circuits: sqrt'(0) = inf would
+    # poison every sphere-quadratic input's gradient; the framework's
+    # piecewise convention takes the zero one-sided derivative instead.
+    sq_zero = disc == 0
+    sq = jnp.sqrt(jnp.where(no_sol | sq_zero, jnp.float32(1.0), disc))
+    sq = jnp.where(sq_zero, jnp.float32(0.0), sq)
     q = jnp.where(b > 0, jnp.float32(-0.5) * (b + sq), jnp.float32(-0.5) * (b - sq))
     q_zero = q == 0
     q_s = jnp.where(q_zero, jnp.float32(1.0), q)
@@ -191,9 +196,32 @@ def _combine_tri_best(best: _TriBest, tri_axis: str) -> _TriBest:
     )
 
 
-def intersect(ds: DeviceScene, start, d, tri_axis: str | None = None) -> Hit:
-    """Nearest hit for rays (start [N,3], d [N,3])."""
-    best = _best_triangle(ds, start, d)
+def _best_triangle_pallas(ds: DeviceScene, start, d) -> _TriBest:
+    """Per-shard nearest triangle hit through the streamed Pallas partial
+    kernel (``kernels/partial.py``) — the production tp path. Same combine
+    contract as ``_best_triangle``; forward-only (no VJP)."""
+    from ..kernels.partial import nearest_tris_pallas
+    t, pos, nrm, rgb, mat, idx = nearest_tris_pallas(
+        ds.v0, ds.e1, ds.e2, ds.n, ds.rgb, ds.mat, start, d)
+    hit = jnp.isfinite(t)
+    return _TriBest(
+        t=t,
+        idx=jnp.where(hit, idx + ds.tri_offset, _IMAX),
+        pos=pos, normal=nrm, rgb=rgb,
+        mat=jnp.where(hit, mat, jnp.float32(1.0)),
+    )
+
+
+def intersect(ds: DeviceScene, start, d, tri_axis: str | None = None,
+              tri_pass: str = "jnp") -> Hit:
+    """Nearest hit for rays (start [N,3], d [N,3]).
+
+    tri_pass='pallas' runs the triangle scan through the streamed partial
+    kernel (forward-only; pair with tri_axis for tp sharding)."""
+    if tri_pass == "pallas":
+        best = _best_triangle_pallas(ds, start, d)
+    else:
+        best = _best_triangle(ds, start, d)
     if tri_axis is not None:
         best = _combine_tri_best(best, tri_axis)
     tri_t = best.t
@@ -230,17 +258,24 @@ def intersect(ds: DeviceScene, start, d, tri_axis: str | None = None) -> Hit:
 
 
 def in_shadow(ds: DeviceScene, start, d, radius_sq,
-              tri_axis: str | None = None) -> jnp.ndarray:
+              tri_axis: str | None = None,
+              tri_pass: str = "jnp") -> jnp.ndarray:
     """Occlusion toward the light (``kernels.cl:243-311``): glass (mat == -1)
     casts no shadow; an occluder counts at t >= 0 with |t*d|^2 < radius_sq.
     On TPU there is no early exit — the masked any() over all objects is one
-    fused reduction, which is faster than divergent control flow anyway."""
-    t, u, v, degenerate = _tri_tuv(ds, start, d)
-    dist = t * t * dot3(d, d)[:, None]
-    occ = ((t >= 0) & (dist < radius_sq[:, None])
-           & (u >= 0) & (v >= 0) & ((u + v) <= 1) & ~degenerate
-           & (ds.mat[None] != jnp.float32(-1.0)))
-    occluded = jnp.any(occ, axis=1)
+    fused reduction, which is faster than divergent control flow anyway.
+    tri_pass='pallas': streamed partial kernel for the triangle scan."""
+    if tri_pass == "pallas":
+        from ..kernels.partial import occluded_tris_pallas
+        occluded = occluded_tris_pallas(ds.v0, ds.e1, ds.e2, ds.mat,
+                                        start, d, radius_sq)
+    else:
+        t, u, v, degenerate = _tri_tuv(ds, start, d)
+        dist = t * t * dot3(d, d)[:, None]
+        occ = ((t >= 0) & (dist < radius_sq[:, None])
+               & (u >= 0) & (v >= 0) & ((u + v) <= 1) & ~degenerate
+               & (ds.mat[None] != jnp.float32(-1.0)))
+        occluded = jnp.any(occ, axis=1)
     if ds.num_spheres:
         xmin, xmax, no_sol = _sphere_roots(ds, start, d)
         dd = dot3(d, d)[:, None]

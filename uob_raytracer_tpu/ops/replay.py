@@ -142,7 +142,11 @@ def _hit_from_row(row, n_tri: int, ids, start, d):
     c_q = dot3(L, L) - r2
     disc = b_q * b_q - _F(4.0) * a_q * c_q
     no_sol = disc < 0
-    sq = jnp.sqrt(jnp.where(no_sol | ~is_sph, _F(1.0), disc))
+    # disc == 0 short-circuits the sqrt: its inf derivative would poison
+    # the sphere gradients (see ops/intersect._sphere_roots)
+    sq_zero = disc == 0
+    sq = jnp.sqrt(jnp.where(no_sol | sq_zero | ~is_sph, _F(1.0), disc))
+    sq = jnp.where(sq_zero, _F(0.0), sq)
     q = jnp.where(b_q > 0, _F(-0.5) * (b_q + sq), _F(-0.5) * (b_q - sq))
     qz = q == 0
     x0 = q / jnp.where(a_q == 0, _F(1.0), a_q)
@@ -218,7 +222,9 @@ def replay_forward(scene: Scene, cfg: RenderConfig, res: Residuals,
             nr = n1 / n2
             k = _F(1.0) - nr * nr * (_F(1.0) - c1a * c1a)
             tir = k < 0
-            c2 = jnp.sqrt(jnp.where(tir, _F(1.0), k))
+            kz = k == 0   # grazing TIR boundary: kill the inf sqrt grad
+            c2 = jnp.sqrt(jnp.where(tir | kz, _F(1.0), k))
+            c2 = jnp.where(kz, _F(0.0), c2)
             refr = nr[:, None] * cur_d + (nr * c1a - c2)[:, None] * (-nflip)
             is_mirror = cur_mat == 0
             if cfg.quirk_nan_tir:

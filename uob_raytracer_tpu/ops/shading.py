@@ -25,7 +25,7 @@ _PI4 = np.float32(4.0 * 3.14159265358979323846)
 
 
 def direct_light(ds: DeviceScene, cfg: RenderConfig, pos, normal, gid,
-                 tri_axis: str | None = None):
+                 tri_axis: str | None = None, tri_pass: str = "jnp"):
     """Soft-shadowed inverse-square Lambert (``kernels.cl:313-340``).
 
     Reference quirks kept verbatim: the per-sample jitter perturbs only the
@@ -44,7 +44,8 @@ def direct_light(ds: DeviceScene, cfg: RenderConfig, pos, normal, gid,
         state, acc = carry
         state = xorshift(state)
         jitter = crush(state, cfg.light_spread)
-        lit = ~in_shadow(ds, start, sdir + jitter, radius_sq, tri_axis)
+        lit = ~in_shadow(ds, start, sdir + jitter, radius_sq, tri_axis,
+                         tri_pass)
         acc = acc + lit[:, None].astype(jnp.float32) * lamb
         return (state, acc), None
 
@@ -75,7 +76,10 @@ def _refract_dir(cfg: RenderConfig, d, n, medium):
     tir = k < 0
     # TIR lanes go through sqrt(1) (their refracted direction is discarded);
     # a clamped sqrt would leak NaN into the backward pass via inf * 0.
-    c2 = jnp.sqrt(jnp.where(tir, jnp.float32(1.0), k))
+    # k == 0 (grazing TIR boundary) short-circuits too: sqrt'(0) = inf.
+    kz = k == 0
+    c2 = jnp.sqrt(jnp.where(tir | kz, jnp.float32(1.0), k))
+    c2 = jnp.where(kz, jnp.float32(0.0), c2)
     out = nr[:, None] * d + (nr * c1a - c2)[:, None] * (-nrm)
     return out, n2, tir, c1a, n1, n2
 
@@ -86,7 +90,7 @@ def _schlick(c1, n1, n2):
 
 
 def trace_specular(ds: DeviceScene, cfg: RenderConfig, primary: Hit, d,
-                   tri_axis: str | None = None):
+                   tri_axis: str | None = None, tri_pass: str = "jnp"):
     """Wavefront specular bounce loop (``kernels.cl:342-365``) — geometry
     only. A ray stays active while its last hit is specular (mat <= 0); the
     loop records the *terminal* diffuse hit (position, normal, color,
@@ -135,7 +139,7 @@ def trace_specular(ds: DeviceScene, cfg: RenderConfig, primary: Hit, d,
                                jnp.float32(1.0) - _schlick(c1a, n1v, n2v))
             weight = jnp.where(alive, weight * w_step, weight)
 
-        hit = intersect(ds, new_start, new_dir, tri_axis)
+        hit = intersect(ds, new_start, new_dir, tri_axis, tri_pass)
         diffuse = alive & hit.hit & (hit.mat > 0)
         keep_t = diffuse[:, None]
         cont = alive & hit.hit & (hit.mat <= 0)
@@ -162,18 +166,18 @@ def trace_specular(ds: DeviceScene, cfg: RenderConfig, primary: Hit, d,
 
 
 def shade(ds: DeviceScene, cfg: RenderConfig, start, d, gid,
-          tri_axis: str | None = None):
+          tri_axis: str | None = None, tri_pass: str = "jnp"):
     """Full per-ray radiance (``kernels.cl:411-425``): nearest hit, bounce
     loop for specular rays, then ONE soft-shadow evaluation at the unified
     shading point (the primary hit for diffuse rays, the bounce-terminal
     hit for specular rays — both use the same pixel-seeded RNG stream, so
     the result is identical to shading inside the loop as the reference
     does, at a tenth of the shadow-ray cost)."""
-    primary = intersect(ds, start, d, tri_axis)
+    primary = intersect(ds, start, d, tri_axis, tri_pass)
     prim_diffuse = primary.hit & (primary.mat > 0)
 
     if cfg.bounces > 0:
-        term = trace_specular(ds, cfg, primary, d, tri_axis)
+        term = trace_specular(ds, cfg, primary, d, tri_axis, tri_pass)
         term_valid = term["term_valid"]
         sp_pos = jnp.where(prim_diffuse[:, None], primary.pos, term["term_pos"])
         sp_normal = jnp.where(prim_diffuse[:, None], primary.normal,
@@ -183,7 +187,7 @@ def shade(ds: DeviceScene, cfg: RenderConfig, start, d, gid,
         term_valid = jnp.zeros_like(prim_diffuse)
         sp_pos, sp_normal = primary.pos, primary.normal
 
-    dl = direct_light(ds, cfg, sp_pos, sp_normal, gid, tri_axis)
+    dl = direct_light(ds, cfg, sp_pos, sp_normal, gid, tri_axis, tri_pass)
     color = jnp.where(prim_diffuse[:, None],
                       primary.rgb * (ds.indirect[None] + dl), 0.0)
     if term is not None:
