@@ -157,6 +157,24 @@ def test_tp_sharded_matches_replicated(scene):
                         what="tp-sharded vs replicated")
 
 
+def test_tp_pallas_partial_matches_jnp(scene):
+    """The production tp path: per-shard streamed partial Pallas kernels
+    (nearest hit + occlusion) combined with the pmin/tie/psum collectives
+    == the jnp tp path (interpret mode on the CPU mesh; tiny shapes — the
+    streamed scan pads each shard's table to a full DMA block)."""
+    from conftest import assert_images_match
+    cfg = RenderConfig(width=16, height=8, aa_x=1, aa_y=1,
+                       shadow_samples=2, bounces=1)
+    mesh = make_mesh(dp=2, tp=2)
+    padded = pad_triangles(scene, 2)
+    run = jax.jit(render_image_sharded,
+                  static_argnames=("cfg", "mesh", "backend"))
+    img_p = np.asarray(run(padded, cfg, mesh, backend="pallas"))
+    img_j = np.asarray(run(padded, cfg, mesh, backend="jnp"))
+    assert_images_match(img_p, img_j, tight=1e-5, outlier_frac=0.01,
+                        what="tp pallas-partial vs jnp")
+
+
 def test_padding_is_invisible(scene):
     padded = pad_triangles(scene, 16)         # 26 -> 32, degenerate pad
     img_p = np.asarray(render(padded, CFG).image)

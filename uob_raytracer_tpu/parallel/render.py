@@ -47,10 +47,12 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     with ICI collectives. Differentiable: gradients of replicated scene
     leaves are psum'd automatically by the shard_map transpose.
 
-    backend='pallas' (tp == 1 only) runs the fused kernel per shard, each
+    backend='pallas' with tp == 1 runs the fused kernel per shard, each
     shard rendering its row band (path-replay backward included) — the
-    production multi-chip path on TPU. backend='jnp' is the portable path
-    and the only one supporting triangle (tp) sharding.
+    production multi-chip path on TPU. With tp > 1 it runs the per-shard
+    pipeline with the triangle scans in the streamed partial Pallas kernels
+    (``kernels/partial.py``) combined over ICI — forward-only (training
+    with tp uses backend='jnp', which is fully differentiable).
 
     shadow_quads: static quad pairing for the pallas occlusion scan, as in
     ``render.render_image`` — pass it so every shard runs the same
@@ -74,10 +76,15 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     if tp and scene.tri_v0.shape[0] % mesh.shape["tp"]:
         raise ValueError("triangle count not divisible by tp; use pad_triangles")
     rows_per_shard = H // n_dp
+    # tp>1 + pallas: the jnp per-shard pipeline with its triangle scans
+    # routed through the streamed partial kernels (kernels/partial.py) and
+    # the pmin/tie/psum combine over ICI — the production large-scene path.
+    # Forward-only (the partial kernels define no VJP); training with tp
+    # uses tri_pass='jnp'.
+    tri_pass = "jnp"
+    if backend == "pallas" and tp:
+        backend, tri_pass = "jnp", "pallas"
     if backend == "pallas":
-        if tp:
-            raise ValueError("pallas sharded backend does not support tp>1; "
-                             "use backend='jnp' for triangle sharding")
         if rows_per_shard % 8:
             raise ValueError(f"rows per shard ({rows_per_shard}) must be a "
                              f"multiple of the 8-row kernel tile")
@@ -109,7 +116,8 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
         if cfg.cpu_ref:
             colors = shade_cpu_ref(ds, cfg, start, d_flat)
         else:
-            colors = shade(ds, cfg, start, d_flat, gid_flat, tri_axis)
+            colors = shade(ds, cfg, start, d_flat, gid_flat, tri_axis,
+                           tri_pass)
         img = colors.reshape(rows_per_shard, W, A, 3)
         return img.sum(axis=2) / jnp.float32(A)
 
