@@ -383,7 +383,9 @@ def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
                 inb_q = (u_n * dA <= dA2) & (v_n * dA <= dA2)
                 inb_t = ((u_n + v_n) * dA <= dA2) & (dA != 0)
                 if quad == "by_gi":
-                    inb = jnp.where(is_quad, inb_q, inb_t)
+                    # logical blend, not jnp.where: Mosaic cannot legalize
+                    # a scalar-predicated arith.select over i1 vectors
+                    inb = (is_quad & inb_q) | (~is_quad & inb_t)
                 else:
                     inb = inb_q if quad else inb_t
                 hit = base & inb & not_glass
