@@ -261,7 +261,7 @@ print(json.dumps({"pid": pid, "step_ms": dt * 1e3, "dp": dp}))
 
 
 def bench_multihost_sim(rows: int = 32, iters: int = 4,
-                        dev_per_proc: int = 2) -> dict:
+                        dev_per_proc: int = 1) -> dict:
     """SIMULATED 2-host weak-scaling efficiency on virtual CPU devices.
 
     Baseline: one process, dp=dev_per_proc mesh. Scaled: two processes
@@ -293,12 +293,21 @@ def bench_multihost_sim(rows: int = 32, iters: int = 4,
         f.write(_MULTIHOST_WORKER)
         script = f.name
 
+    import shutil
+    taskset = shutil.which("taskset")
+    ncpu = os.cpu_count() or 1
+
     def run(num):
+        # one core per process (when taskset exists): without pinning, each
+        # XLA CPU client spans every core and two processes measure host
+        # thrash, not collective overhead
+        def argv(i):
+            pin = ([taskset, "-c", str(i % ncpu)] if taskset else [])
+            return pin + [sys.executable, script, str(num), str(i),
+                          str(port), str(rows), str(iters)]
         procs = [subprocess.Popen(
-            [sys.executable, script, str(num), str(i), str(port),
-             str(rows), str(iters)],
-            env=env(), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True) for i in range(num)]
+            argv(i), env=env(), stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True) for i in range(num)]
         outs = []
         for p in procs:
             out, err = p.communicate(timeout=600)
@@ -312,16 +321,21 @@ def bench_multihost_sim(rows: int = 32, iters: int = 4,
     t1 = base["step_ms"]
     t2 = max(o["step_ms"] for o in scaled)
     eff = t1 / t2
+    ncores = os.cpu_count()
     out = {"simulated": True,
            "note": "2-process weak scaling on virtual CPU devices; measures "
-                   "multi-process collective overhead, not TPU ICI",
+                   "multi-process collective + host-CPU contention overhead "
+                   f"on a {ncores}-core host, NOT TPU ICI/DCN — a lower "
+                   "bound on real-hardware efficiency",
+           "host_cores": ncores,
            "per_proc_devices": dev_per_proc, "rows_per_shard": rows,
-           "step_ms_1proc_dp2": round(t1, 3),
-           "step_ms_2proc_dp4": round(t2, 3),
+           "step_ms_1proc": round(t1, 3),
+           "step_ms_2proc": round(t2, 3),
            "efficiency": round(eff, 4)}
     print(f"# multihost-sim: 1-proc dp{base['dp']} {t1:.1f} ms vs 2-proc "
           f"dp{scaled[0]['dp']} {t2:.1f} ms -> weak-scaling efficiency "
-          f"{eff:.1%} (SIMULATED on CPU virtual devices)", file=sys.stderr)
+          f"{eff:.1%} (SIMULATED on CPU virtual devices, {ncores} host "
+          f"cores)", file=sys.stderr)
     os.unlink(script)
     return out
 
