@@ -5,6 +5,7 @@ differentiable demo, configs lists the five BASELINE workloads."""
 import os
 
 import numpy as np
+import pytest
 
 from uob_raytracer_tpu.cli import main
 
@@ -54,6 +55,7 @@ def test_sweep(tmp_path, capsys):
     assert "light_x=" in capsys.readouterr().out
 
 
+@pytest.mark.slow   # end-to-end Adam demo (~1.5 min); scripts/test.sh runs slow
 def test_fit_reduces_loss(capsys):
     main(["fit", "--width", "32", "--height", "16", "--steps", "8",
           "--lr", "0.5"])

@@ -223,6 +223,7 @@ def test_train_step_reduces_loss(scene):
     assert float(s.light_pos[0]) > 0.02
 
 
+@pytest.mark.slow   # optimizer demo (~2 min); scripts/test.sh runs slow
 def test_fit_recovers_multi_parameter_scene(scene):
     """BASELINE config-5 fit: per-leaf Adam recovers all three parameter
     types through the sharded renderer — light position + a wall color

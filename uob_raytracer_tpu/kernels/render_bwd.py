@@ -247,6 +247,8 @@ def _bounce_step(cfg: RenderConfig, row_b: _Row, carry):
 # crosses loop boundaries and the per-step scratch.
 
 _CARRY_LEAVES = 23
+# chain scratch rows: carry (23) + cached gathered row (16 diff + mat)
+_SCR_LEAVES = _CARRY_LEAVES + 17
 
 
 def _stack_carry(carry):
@@ -418,7 +420,11 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         def fbody(k, carr):
             ids_k = bid_ref[pl.ds(k, 1)][0]
             row = _gather_row(tri_scan, sph_ref, n_tri, n_sph, ids_k)
-            chain_scr[pl.ds(k, 1)] = carr[None]   # carry INTO step k
+            # save carry INTO step k plus the gathered row (16 diff leaves
+            # + mat), so the reverse sweep never rescans the table — for
+            # streamed scenes that is one whole DMA table scan per step
+            chain_scr[pl.ds(k, 1)] = jnp.concatenate(
+                [carr, jnp.stack((*row.diff_inputs(), row.mat))])[None]
             c2 = _bounce_step(cfg, row, _unstack_carry(carr, treedef))
             return _stack_carry(c2)
 
@@ -504,15 +510,21 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         def rbody(i2, dcarr):
             k = n_live - 1 - i2
             ids_k = bid_ref[pl.ds(k, 1)][0]
-            row = _gather_row(tri_scan, sph_ref, n_tri, n_sph, ids_k)
-            carr_k = chain_scr[pl.ds(k, 1)][0]
+            scr = chain_scr[pl.ds(k, 1)][0]
+            carr_k = scr[:_CARRY_LEAVES]
+            row_diffs = tuple(scr[_CARRY_LEAVES + c] for c in range(16))
+            row_mat = scr[_CARRY_LEAVES + 16]
+            masks = (row_mat, ids_k >= n_tri, ids_k >= 0)
 
             def step(diffs, carr_in):
-                c2 = _bounce_step(cfg, row.with_diff(diffs),
+                row = _Row(tuple(diffs[0:3]), tuple(diffs[3:6]),
+                           tuple(diffs[6:9]), tuple(diffs[9:12]),
+                           tuple(diffs[12:15]), diffs[15], *masks)
+                c2 = _bounce_step(cfg, row,
                                   _unstack_carry(carr_in, treedef))
                 return _stack_carry(c2)
 
-            _, vjpk = jax.vjp(step, row.diff_inputs(), carr_k)
+            _, vjpk = jax.vjp(step, row_diffs, carr_k)
             drow, dcarr_prev = vjpk(dcarr)
             scatter_tri(1 + k, drow, ids_k)
             scatter_sph(ids_k, drow)
@@ -570,7 +582,7 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, cfg: RenderConfig,
         ]
         scratch = [pltpu.SMEM((2, STREAM_BLK, STREAM_COLS), jnp.float32),
                    pltpu.SemaphoreType.DMA((2,)),
-                   pltpu.VMEM((B, _CARRY_LEAVES, A, TILE_H, TILE_W),
+                   pltpu.VMEM((B, _SCR_LEAVES, A, TILE_H, TILE_W),
                               jnp.float32)]
         tri_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     else:
@@ -583,7 +595,7 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, cfg: RenderConfig,
             jax.ShapeDtypeStruct((n_tri, TRI_COLS), jnp.float32),
             sph_shape, cam_shape, img_shape,
         ]
-        scratch = [pltpu.VMEM((B, _CARRY_LEAVES, A, TILE_H, TILE_W),
+        scratch = [pltpu.VMEM((B, _SCR_LEAVES, A, TILE_H, TILE_W),
                               jnp.float32)]
         tri_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
