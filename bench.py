@@ -78,7 +78,36 @@ def logical_ray_count(scene, cfg) -> int:
     return n_primary + int(n_shaded) * cfg.shadow_samples + int(n_bounce)
 
 
-def time_scalar_fn(scalar_fn, scene, iters: int) -> float:
+# Slope estimates below this are at the tunneled backend's measurement
+# floor: sub-0.4 ms figures jitter run to run (a 256^2 frame has been
+# observed anywhere between 0.0 and 0.24 ms), so rays/s derived from them
+# is noise — configs under the floor are flagged, not reported as numbers.
+RESOLUTION_S = 0.4e-3
+
+
+class Timing(float):
+    """A p50 per-call time (seconds) carrying its run-to-run spread.
+
+    Subclasses float so existing arithmetic (slope differences, rays/s)
+    keeps working; ``spread`` is (max - min) / p50 over the independent
+    slope estimates and ``below_resolution`` marks estimates under the
+    harness floor (RESOLUTION_S)."""
+
+    def __new__(cls, p50: float, spread: float):
+        self = super().__new__(cls, p50)
+        self.spread = spread
+        self.below_resolution = p50 < RESOLUTION_S
+        return self
+
+    def ms_dict(self) -> dict:
+        d = {"p50": round(self * 1e3, 3), "spread": round(self.spread, 4)}
+        if self.below_resolution:
+            d["below_resolution"] = True
+        return d
+
+
+def time_scalar_fn(scalar_fn, scene, iters: int,
+                   n_estimates: int = 5) -> Timing:
     """Time ``scalar_fn(scene) -> f32 scalar`` per call, robustly.
 
     The per-iteration work is chained inside ONE jitted fori_loop — each
@@ -91,10 +120,15 @@ def time_scalar_fn(scalar_fn, scene, iters: int) -> float:
     (~28 ms through axon, independent of the work inside the loop), so the
     per-iteration time is estimated as the SLOPE between an N-iteration and
     a 2N-iteration run: (T(2N) - T(N)) / N cancels every per-fetch constant
-    and measures pure device throughput. Both points are re-measured three
-    times and the minimum is used (scheduler noise is one-sided). The trip
+    and measures pure device throughput. ``n_estimates`` independent slope
+    estimates are taken (each from min-of-2 timings per point, interleaved
+    N/2N so drift hits both points alike); the reported time is their
+    MEDIAN and the spread (max-min)/median is carried on the result — a
+    single-number slope on this tunneled backend has been observed ±30%
+    between same-day runs, which a lone estimate silently hides. The trip
     count is a traced argument, so both points share one compiled program."""
     import dataclasses
+    import statistics
 
     @jax.jit
     def run(s, n):
@@ -106,17 +140,21 @@ def time_scalar_fn(scalar_fn, scene, iters: int) -> float:
         acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), s))
         return acc
 
-    def best(n):
-        float(run(scene, n))  # compile (first call only) + warm
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(scene, n))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+    def once(n):
+        t0 = time.perf_counter()
+        float(run(scene, n))
+        return time.perf_counter() - t0
 
-    t1, t2 = best(iters), best(2 * iters)
-    return max(t2 - t1, 1e-9) / iters
+    float(run(scene, iters))       # compile + warm (same program for 2N)
+    float(run(scene, 2 * iters))
+    slopes = []
+    for _ in range(n_estimates):
+        t1 = min(once(iters) for _ in range(2))
+        t2 = min(once(2 * iters) for _ in range(2))
+        slopes.append(max(t2 - t1, 1e-9) / iters)
+    p50 = statistics.median(slopes)
+    spread = (max(slopes) - min(slopes)) / p50
+    return Timing(p50, spread)
 
 
 def _quads_for(scene, backend):
@@ -146,24 +184,53 @@ def _step_scalar(cfg, backend, quads=None):
     return loss_grad
 
 
+def assert_finite_grads(cfg, backend, quads, scene) -> None:
+    """Evaluate the gradient once and require every leaf finite BEFORE any
+    fwd+bwd timing is trusted: NaN-poisoned gradients make the chained
+    bench silently CHEAPER (the scene perturbation goes NaN and later
+    frames short-circuit) — the failure mode that corrupted the round-2
+    numbers via the tangent-ray NaN bug."""
+    import numpy as np
+    g = jax.grad(lambda ss: jnp.mean(render_image(ss, cfg, backend=backend,
+                                                  shadow_quads=quads)))(scene)
+    bad = [f"Scene.{name}"
+           for name, leaf in vars(g).items()
+           if not bool(np.isfinite(np.asarray(leaf)).all())]
+    if bad:
+        raise AssertionError(
+            f"non-finite gradient leaves {bad} — fwd+bwd timings would be "
+            f"meaningless (NaN scenes render cheaper); refusing to bench")
+
+
+def _rate(rays: int, dt: Timing):
+    """rays/s from a Timing, or None when under the measurement floor."""
+    return None if dt.below_resolution else round(rays / dt)
+
+
 def bench_config(name: str, cfg, scene, iters: int, backend: str) -> dict:
     rays = logical_ray_count(scene, cfg)
     quads = None if cfg.cpu_ref else _quads_for(scene, backend)
+    assert_finite_grads(cfg, backend, quads, scene)
     dt_fwd = time_scalar_fn(_fwd_scalar(cfg, backend, quads), scene, iters)
     dt_step = time_scalar_fn(_step_scalar(cfg, backend, quads), scene,
                              max(4, iters // 2))
     out = {
         "rays_per_frame": rays,
-        "fwd_ms": round(dt_fwd * 1e3, 3),
-        "fwd_rays_s": round(rays / dt_fwd),
-        "fwd_bwd_ms": round(dt_step * 1e3, 3),
-        "fwd_bwd_rays_s": round(rays / dt_step),
+        "grads_finite": True,
+        "fwd_ms": dt_fwd.ms_dict(),
+        "fwd_rays_s": _rate(rays, dt_fwd),
+        "fwd_bwd_ms": dt_step.ms_dict(),
+        "fwd_bwd_rays_s": _rate(rays, dt_step),
     }
+
+    def _g(r):
+        return "below measurement floor" if r is None else f"{r/1e9:.2f} G rays/s"
     print(f"# {name}: {cfg.width}x{cfg.height} aa{cfg.aa_rays} "
           f"s{cfg.shadow_samples} b{cfg.bounces} | {rays:,} rays | "
-          f"fwd {out['fwd_ms']} ms ({out['fwd_rays_s']/1e9:.2f} G rays/s) | "
-          f"fwd+bwd {out['fwd_bwd_ms']} ms "
-          f"({out['fwd_bwd_rays_s']/1e9:.2f} G rays/s)", file=sys.stderr)
+          f"fwd {out['fwd_ms']['p50']} ms ±{dt_fwd.spread:.0%} "
+          f"({_g(out['fwd_rays_s'])}) | "
+          f"fwd+bwd {out['fwd_bwd_ms']['p50']} ms ±{dt_step.spread:.0%} "
+          f"({_g(out['fwd_bwd_rays_s'])})", file=sys.stderr)
     return out
 
 
@@ -316,8 +383,11 @@ def bench_multihost_sim(rows: int = 32, iters: int = 4,
             outs.append(json.loads(out.splitlines()[-1]))
         return outs
 
-    base = run(1)[0]
-    scaled = run(2)
+    try:
+        base = run(1)[0]
+        scaled = run(2)
+    finally:
+        os.unlink(script)
     t1 = base["step_ms"]
     t2 = max(o["step_ms"] for o in scaled)
     eff = t1 / t2
@@ -336,7 +406,6 @@ def bench_multihost_sim(rows: int = 32, iters: int = 4,
           f"dp{scaled[0]['dp']} {t2:.1f} ms -> weak-scaling efficiency "
           f"{eff:.1%} (SIMULATED on CPU virtual devices, {ncores} host "
           f"cores)", file=sys.stderr)
-    os.unlink(script)
     return out
 
 
@@ -482,14 +551,15 @@ def main() -> None:
           f"s{cfg.shadow_samples} b{cfg.bounces})", file=sys.stderr)
 
     quads = _quads_for(scene, args.backend)
+    assert_finite_grads(cfg, args.backend, quads, scene)
     dt_fwd = time_scalar_fn(_fwd_scalar(cfg, args.backend, quads), scene,
                             args.iters)
-    print(f"# forward: {dt_fwd*1e3:.2f} ms/frame = {rays/dt_fwd:.3e} rays/s",
-          file=sys.stderr)
+    print(f"# forward: {dt_fwd*1e3:.2f} ms/frame ±{dt_fwd.spread:.0%} = "
+          f"{rays/dt_fwd:.3e} rays/s", file=sys.stderr)
     dt_step = time_scalar_fn(_step_scalar(cfg, args.backend, quads), scene,
                              max(5, args.iters // 2))
-    print(f"# fwd+bwd: {dt_step*1e3:.2f} ms/step = {rays/dt_step:.3e} rays/s",
-          file=sys.stderr)
+    print(f"# fwd+bwd: {dt_step*1e3:.2f} ms/step ±{dt_step.spread:.0%} = "
+          f"{rays/dt_step:.3e} rays/s", file=sys.stderr)
 
     if args.profile:
         with jax.profiler.trace(args.profile):
@@ -515,6 +585,9 @@ def main() -> None:
         "value": value,
         "unit": "rays/s",
         "vs_baseline": value / TARGET_RAYS_PER_S,
+        "fwd_ms": dt_fwd.ms_dict(),
+        "fwd_bwd_ms": dt_step.ms_dict(),
+        "grads_finite": True,
     }
     if configs:
         out["configs"] = configs

@@ -76,3 +76,24 @@ def test_render_with_obj(tmp_path):
     main(["render", "--width", "32", "--height", "8", "--obj", str(obj),
           "-o", path])
     assert os.path.exists(path)
+
+
+def test_select_devices_env(monkeypatch, capsys):
+    """RAYTPU_DEVICES — the OCL_DEVICE analogue (skeleton.cpp:549-558):
+    index list selects devices; out-of-range fails fast."""
+    import jax
+    import pytest
+    from uob_raytracer_tpu.parallel import make_mesh, select_devices
+
+    n = len(jax.devices())
+    monkeypatch.setenv("RAYTPU_DEVICES", "0")
+    assert select_devices() == [jax.devices()[0]]
+    assert make_mesh().devices.size == 1
+    monkeypatch.setenv("RAYTPU_DEVICES", ",".join(str(i) for i in range(n)))
+    assert select_devices() == jax.devices()
+    monkeypatch.setenv("RAYTPU_DEVICES", str(n + 5))
+    with pytest.raises(ValueError):
+        select_devices()
+    monkeypatch.delenv("RAYTPU_DEVICES")
+    select_devices(verbose=True)
+    assert "device 0" in capsys.readouterr().out

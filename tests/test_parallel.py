@@ -175,6 +175,35 @@ def test_tp_pallas_partial_matches_jnp(scene):
                         what="tp pallas-partial vs jnp")
 
 
+def test_tp_pallas_partial_grads_match_jnp(scene):
+    """tp TRAINING through the production kernels (VERDICT r3 task 2): the
+    streamed partial Pallas kernels' path-replay custom_vjp — per-shard
+    segment-summed triangle cotangents, psum'd by the shard_map transpose
+    over 'tp' — matches the fully-jnp tp gradients on a dp x tp mesh."""
+    cfg = RenderConfig(width=16, height=8, aa_x=1, aa_y=1,
+                       shadow_samples=2, bounces=1)
+    mesh = make_mesh(dp=2, tp=2)
+    # yaw/pitch nudge: with the axis-aligned camera a few rays hit the
+    # back-wall diagonal EXACTLY (t tie between the two wall triangles);
+    # the two scan orders then attribute those lanes to different
+    # triangles of the same wall — a genuine tie, not a gradient bug.
+    padded = dataclasses.replace(pad_triangles(scene, 2),
+                                 yaw=jnp.float32(0.11),
+                                 pitch=jnp.float32(0.07))
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    run = jax.jit(jax.grad(image_loss),
+                  static_argnames=("cfg", "mesh", "backend"))
+    g_p = run(padded, target, cfg, mesh, backend="pallas")
+    g_j = run(padded, target, cfg, mesh, backend="jnp")
+    for name in ("light_pos", "light_color", "tri_v0", "tri_v1", "tri_v2",
+                 "tri_rgb", "camera_pos", "yaw", "pitch"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_p, name)), np.asarray(getattr(g_j, name)),
+            rtol=1e-4, atol=1e-6, err_msg=name)
+    assert np.abs(np.asarray(g_p.tri_v0)).max() > 0
+    assert np.abs(np.asarray(g_p.light_pos)).max() > 0
+
+
 def test_padding_is_invisible(scene):
     padded = pad_triangles(scene, 16)         # 26 -> 32, degenerate pad
     img_p = np.asarray(render(padded, CFG).image)

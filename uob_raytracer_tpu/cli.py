@@ -192,6 +192,10 @@ def main(argv=None):
         sp.add_argument("--obj", default=None)
         sp.add_argument("--yaw", type=float, default=0.0)
         sp.add_argument("--pitch", type=float, default=0.0)
+        sp.add_argument("--devices", default=None, metavar="IDX[,IDX...]",
+                        help="device indices to use (default: all; also "
+                             "settable via RAYTPU_DEVICES — the OCL_DEVICE "
+                             "analogue, skeleton.cpp:549-558)")
         sp.add_argument("-o", "--out", default=None)
         if name in ("animate", "sweep"):
             sp.add_argument("--frames", type=int, default=60)
@@ -200,6 +204,11 @@ def main(argv=None):
             sp.add_argument("--lr", type=float, default=1.0,
                             help="scale factor on the per-leaf Adam rates")
     args = p.parse_args(argv)
+    if args.devices is not None:
+        # stash in the env so every make_mesh() call in the command path
+        # (and any worker subprocess) sees the same selection
+        import os
+        os.environ["RAYTPU_DEVICES"] = args.devices
     args.fn(args)
 
 

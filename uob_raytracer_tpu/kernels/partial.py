@@ -11,9 +11,16 @@ with the same select-accumulate bodies as the fused kernel
 (``_nearest_hit``'s running best of ``kernels.cl:92-166``; the occlusion
 accept of ``kernels.cl:243-311``), over a grid of (8, 128) ray tiles.
 
-Forward rendering path only: the partial calls define no VJP (training
-through tp sharding uses the differentiable jnp path — see
-``parallel/render.py``).
+Differentiable: ``nearest_tris_pallas`` carries a path-replay
+``custom_vjp`` — the kernel records each ray's LOCAL winning triangle id,
+and the backward gathers the winning rows, replays the lean Cramer/attribute
+reconstruction in jnp, and lets the vjp of the gather scatter-add (segment-
+sum) the per-lane cotangents back into the shard's tables. Visibility
+(which triangle wins, occlusion bits) is frozen, exactly the gradient
+convention of the jnp pipeline and the fused replay backward (SURVEY.md §7).
+``occluded_tris_pallas`` returns booleans whose jnp-path gradient is zero
+everywhere (comparisons only), so its inputs are stop_gradient'ed — not a
+downgrade, the identical cotangent.
 """
 from __future__ import annotations
 
@@ -89,16 +96,8 @@ def _call_nearest(tbl, sph_dummy, s, d, n_tri: int, n_rows: int,
     )(tbl, sph_dummy, s, d)
 
 
-def nearest_tris_pallas(v0, e1, e2, n, rgb, mat, start, d,
-                        interpret: bool | None = None):
-    """Local nearest triangle hit over this shard's table.
-
-    Returns (t [N] with inf for miss, pos [N,3], normal [N,3], rgb [N,3],
-    mat [N], idx [N] local int32 with -1 for miss) — the per-shard inputs
-    of ``ops.intersect._combine_tri_best``."""
+def _nearest_impl(v0, e1, e2, n, rgb, mat, start, d, interpret: bool):
     from .render_fwd import pack_streamed
-    if interpret is None:
-        interpret = default_interpret()
     n_tri = v0.shape[0]
     n_rays = start.shape[0]
     tbl = jnp.concatenate(
@@ -117,6 +116,79 @@ def nearest_tris_pallas(v0, e1, e2, n, rgb, mat, start, d,
     mat_o = flat[10]
     idx = jnp.where(miss, -1, flat[11].astype(jnp.int32))
     return t, pos, nrm, rgb_o, mat_o, idx
+
+
+def _nearest_replay(idx, v0, e1, e2, n, rgb, start, d):
+    """Differentiable reconstruction of the kernel's outputs from the
+    recorded winning ids: gather the winning rows and replay the Cramer
+    solve + attribute pick (kernels.cl:92-130) on [N]-lanes only. The vjp
+    of the row gather IS the segment-sum scatter of per-lane cotangents
+    into the shard's triangle table. Denominators carry the usual
+    double-where guards so miss/degenerate lanes stay NaN-free in both
+    directions; visibility (idx) is frozen."""
+    hit = idx >= 0
+    safe = jnp.clip(idx, 0, v0.shape[0] - 1)
+    V0, E1, E2 = v0[safe], e1[safe], e2[safe]
+    b = start - V0
+    nd = -d
+    detA = det3_rows(nd, E1, E2)
+    degen = detA == 0
+    recip = _F(1.0) / jnp.where(degen, _F(1.0), detA)
+    t = det3_rows(b, E1, E2) * recip
+    u = det3_rows(nd, b, E2) * recip
+    v = det3_rows(nd, E1, b) * recip
+    h3 = hit[:, None]
+    t_o = jnp.where(hit, jnp.where(degen, _F(0.0), t), jnp.inf)
+    pos = jnp.where(h3, V0 + u[:, None] * E1 + v[:, None] * E2, 0.0)
+    nrm = jnp.where(h3, n[safe], 0.0)
+    rgb_o = jnp.where(h3, rgb[safe], 0.0)
+    return t_o, pos, nrm, rgb_o
+
+
+def det3_rows(a, b, c):
+    """Row-wise 3x3 determinant of [N,3] vectors (kernels.cl:31-35)."""
+    return (a[..., 0] * (b[..., 1] * c[..., 2] - b[..., 2] * c[..., 1])
+            - a[..., 1] * (b[..., 0] * c[..., 2] - b[..., 2] * c[..., 0])
+            + a[..., 2] * (b[..., 0] * c[..., 1] - b[..., 1] * c[..., 0]))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _nearest_diff(v0, e1, e2, n, rgb, mat, start, d, interpret):
+    return _nearest_impl(v0, e1, e2, n, rgb, mat, start, d, interpret)
+
+
+def _nearest_diff_fwd(v0, e1, e2, n, rgb, mat, start, d, interpret):
+    out = _nearest_impl(v0, e1, e2, n, rgb, mat, start, d, interpret)
+    idx = out[5]
+    return out, (v0, e1, e2, n, rgb, start, d, idx)
+
+
+def _nearest_diff_bwd(interpret, res, cts):
+    v0, e1, e2, n, rgb, start, d, idx = res
+    dt, dpos, dnrm, drgb, _dmat, _didx = cts   # mat/idx frozen (int/compare)
+    hit = idx >= 0
+    dt = jnp.where(hit & jnp.isfinite(dt), dt, 0.0)
+    _, vjp = jax.vjp(functools.partial(_nearest_replay, idx),
+                     v0, e1, e2, n, rgb, start, d)
+    dv0, de1, de2, dn, drgb_t, dstart, dd = vjp((dt, dpos, dnrm, drgb))
+    dmat = jnp.zeros_like(v0[:, 0])
+    return dv0, de1, de2, dn, drgb_t, dmat, dstart, dd
+
+
+_nearest_diff.defvjp(_nearest_diff_fwd, _nearest_diff_bwd)
+
+
+def nearest_tris_pallas(v0, e1, e2, n, rgb, mat, start, d,
+                        interpret: bool | None = None):
+    """Local nearest triangle hit over this shard's table.
+
+    Returns (t [N] with inf for miss, pos [N,3], normal [N,3], rgb [N,3],
+    mat [N], idx [N] local int32 with -1 for miss) — the per-shard inputs
+    of ``ops.intersect._combine_tri_best``. Differentiable via the
+    path-replay custom_vjp (see module docstring)."""
+    if interpret is None:
+        interpret = default_interpret()
+    return _nearest_diff(v0, e1, e2, n, rgb, mat, start, d, interpret)
 
 
 def _occluded_kernel(tbl_ref, s_ref, d_ref, r_ref, o_ref, buf, sems, *,
@@ -172,10 +244,15 @@ def occluded_tris_pallas(v0, e1, e2, mat, start, d, radius_sq,
                          interpret: bool | None = None):
     """Local triangle occlusion (any hit within the light radius) over this
     shard's table — the triangle half of ``ops.intersect.in_shadow``.
-    Returns occluded [N] bool."""
+    Returns occluded [N] bool. The boolean's gradient is identically zero
+    on the jnp path (it is built from comparisons alone), so inputs are
+    stop_gradient'ed here: same cotangents, and autodiff never tries to
+    differentiate through the pallas_call."""
     from .render_fwd import pack_streamed
     if interpret is None:
         interpret = default_interpret()
+    (v0, e1, e2, mat, start, d, radius_sq) = jax.lax.stop_gradient(
+        (v0, e1, e2, mat, start, d, radius_sq))
     n_rays = start.shape[0]
     tbl = jnp.concatenate([v0, e1, e2, mat[:, None]], axis=1)
     tbl = pack_streamed(tbl.astype(jnp.float32), OCC_COLS, OCC_PACK)

@@ -273,7 +273,9 @@ def _shade_tile(cfg: RenderConfig, cam_in, prim_diffuse, term_valid, lit,
     the shading tail of ops/replay.py:replay_forward (direct light with
     frozen lit counts, kernels.cl:313-340; terminal combine 353-355;
     AA mean 427). Pure in its array arguments so it sits under jax.vjp;
-    prim_diffuse/term_valid/lit are frozen closures."""
+    prim_diffuse/term_valid/lit are frozen closures. cam_in components are
+    (TILE_H, TILE_W) tiles (see _bwd_kernel's cam_vals) and broadcast
+    against the (A, TILE_H, TILE_W) ray state on trailing dims."""
     shape = p_pos[0].shape
     light = (cam_in[12], cam_in[13], cam_in[14])
     light_rgb = (cam_in[15], cam_in[16], cam_in[17])
@@ -281,8 +283,7 @@ def _shade_tile(cfg: RenderConfig, cam_in, prim_diffuse, term_valid, lit,
 
     sp_pos = _where3(prim_diffuse, p_pos, t_pos)
     sp_nrm = _where3(prim_diffuse, p_nrm, t_nrm)
-    lb = tuple(jnp.broadcast_to(jnp.reshape(c, (1, 1, 1)), shape)
-               for c in light)
+    lb = tuple(jnp.broadcast_to(c[None], shape) for c in light)
     sdir = _sub(lb, sp_pos)
     radius_sq = _dot(sdir, sdir)
     rs = jnp.where(radius_sq == 0, _F(1.0), radius_sq)
@@ -290,16 +291,15 @@ def _shade_tile(cfg: RenderConfig, cam_in, prim_diffuse, term_valid, lit,
                 / (_F(4.0 * np.pi) * rs))
     lam_base = jnp.where(radius_sq == 0, _F(0.0), lam_base)
     dl_scale = lit * lam_base / _F(cfg.shadow_samples)   # lit is frozen
-    dl = tuple(jnp.reshape(c, (1, 1, 1)) * dl_scale for c in light_rgb)
+    dl = tuple(c * dl_scale for c in light_rgb)
 
     color = tuple(
-        jnp.where(prim_diffuse,
-                  p_rgb[c] * (jnp.reshape(indirect[c], (1, 1, 1)) + dl[c]),
-                  0.0) for c in range(3))
+        jnp.where(prim_diffuse, p_rgb[c] * (indirect[c] + dl[c]), 0.0)
+        for c in range(3))
     color = tuple(
         jnp.where(term_valid,
-                  _F(0.9) * (jnp.reshape(indirect[c], (1, 1, 1)) + dl[c])
-                  * t_rgb[c] * weight, color[c]) for c in range(3))
+                  _F(0.9) * (indirect[c] + dl[c]) * t_rgb[c] * weight,
+                  color[c]) for c in range(3))
     inv_a = _F(1.0 / cfg.aa_rays)
     return tuple(jnp.sum(c, axis=0) * inv_a for c in color)
 
@@ -311,19 +311,34 @@ def _shade_tile(cfg: RenderConfig, cam_in, prim_diffuse, term_valid, lit,
 
 def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
                 bid_ref, *refs, cfg: RenderConfig, n_tri: int, n_sph: int,
-                streamed: bool = False):
+                streamed: bool = False, fast_scatter: bool = False,
+                ablate: frozenset = frozenset()):
+    # dcam accumulates as a (CAM_COLS, TILE_H, TILE_W) VMEM tile in every
+    # variant (the caller does the single final reduction): per-tile
+    # camera cotangents are then 21 VECTOR adds instead of 42 cross-lane
+    # tile->scalar reductions, which the r3 roofline showed serializing at
+    # ~50 cycles each (the "dcam" ablation: 0.55 ms of a 1.9 ms backward).
     if streamed:
         # Triangle cotangents leave the kernel as per-lane tiles
         # (dlane_ref); the caller segment-sums them into the table — the
         # table-shaped accumulator would not fit SMEM at streamed scale.
         (dsph_ref, dcam_ref, img_ref, dlane_ref, tri_buf, tri_sems,
          chain_scr) = refs
-        dtri_ref = None
+        dtri_ref = dobj_ref = pres_ref = None
         tri_scan = _streamed_tri_scan(tri_ref, tri_buf, tri_sems,
                                       tri_ref.shape[0])
+    elif fast_scatter:
+        # Unified object-cotangent accumulator in VMEM (n_obj, 16, TH, TW):
+        # triangles AND spheres, gated by the precomputed per-(site, tile)
+        # presence bitword (pres_ref, SMEM) — zero in-kernel reductions on
+        # the lane axis; the caller reduces the table once at the end.
+        pres_ref, dobj_ref, dcam_ref, img_ref, chain_scr = refs
+        dtri_ref = dsph_ref = dlane_ref = None
+        tri_scan = (_unrolled_tri_scan if n_tri <= UNROLL_TRIANGLES
+                    else _smem_tri_scan)(tri_ref, n_tri)
     else:
         dtri_ref, dsph_ref, dcam_ref, img_ref, chain_scr = refs
-        dlane_ref = None
+        dlane_ref = dobj_ref = pres_ref = None
         tri_scan = (_unrolled_tri_scan if n_tri <= UNROLL_TRIANGLES
                     else _smem_tri_scan)(tri_ref, n_tri)
     i = pl.program_id(0)
@@ -331,18 +346,20 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
 
     @pl.when((i == 0) & (j == 0))
     def _():
-        # scalar stores: the accumulators live in SMEM
-        if not streamed:
+        # scalar stores: the table accumulators live in SMEM
+        if dtri_ref is not None:
             def zero_tri(r, _):
                 for c in range(TRI_COLS):
                     dtri_ref[r, c] = _F(0.0)
                 return 0
             jax.lax.fori_loop(0, dtri_ref.shape[0], zero_tri, 0)
-        for r in range(dsph_ref.shape[0]):
-            for c in range(SPH_COLS):
-                dsph_ref[r, c] = _F(0.0)
-        for c in range(CAM_COLS):
-            dcam_ref[0, c] = _F(0.0)
+        if dobj_ref is not None:
+            dobj_ref[...] = jnp.zeros(dobj_ref.shape, _F)
+        if dsph_ref is not None:
+            for r in range(dsph_ref.shape[0]):
+                for c in range(SPH_COLS):
+                    dsph_ref[r, c] = _F(0.0)
+        dcam_ref[...] = jnp.zeros(dcam_ref.shape, _F)
 
     A = cfg.aa_rays
     ax, ay = cfg.aa_x, cfg.aa_y
@@ -367,6 +384,8 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         for b in range(B):
             n_live += jnp.where(jnp.max(bid_ref[b]) >= 0, 1, 0).astype(
                 jnp.int32)
+        if "chain" in ablate:
+            n_live = jnp.int32(0)
 
     # --- non-differentiable ray-gen pieces (pixel coordinates) ---
     ys = (off_ref[0] + i * TILE_H
@@ -382,7 +401,12 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
     dy = jnp.stack([by0 + _F(a // ax) for a in range(A)])
     dz = jnp.full(shape, focal)
 
-    cam_vals = tuple(cam_ref[k] for k in range(CAM_COLS))
+    # cam values enter the differentiable parts as (TILE_H, TILE_W) tiles
+    # (splat from SMEM): jax.vjp's cotangent for them is then tile-shaped —
+    # accumulated below with plain vector adds — instead of the scalar
+    # whose transpose forces a cross-lane reduction per component per tile.
+    cam_vals = tuple(jnp.full((TILE_H, TILE_W), cam_ref[k])
+                     for k in range(CAM_COLS))
 
     # --- part 1: ray gen + primary reconstruction (under jax.vjp) ---
     def f1(cam_in, prim_in):
@@ -394,13 +418,19 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         if not cfg.cpu_ref:   # CPU-ref rays stay unnormalized
             dlen = jnp.sqrt(_dot(d, d))
             d = (d[0] / dlen, d[1] / dlen, d[2] / dlen)
-        start = tuple(jnp.broadcast_to(jnp.reshape(cam_in[9 + c], (1, 1, 1)),
-                                       shape) for c in range(3))
+        start = tuple(jnp.broadcast_to(cam_in[9 + c][None], shape)
+                      for c in range(3))
         pos, normal, rgb, _, _ = _hit_from_row(prim.with_diff(prim_in),
                                                start, d)
         return d, pos, normal, rgb
 
-    (d, pos, normal, rgb), vjp1 = jax.vjp(f1, cam_vals, prim.diff_inputs())
+    if "dcam" in ablate:
+        (d, pos, normal, rgb), _vjp1p = jax.vjp(
+            functools.partial(f1, cam_vals), prim.diff_inputs())
+        vjp1 = lambda g: ((jnp.float32(0.0),) * CAM_COLS, _vjp1p(g)[0])
+    else:
+        (d, pos, normal, rgb), vjp1 = jax.vjp(f1, cam_vals,
+                                              prim.diff_inputs())
     mat, valid = prim.mat, prim.valid
     # CPU-ref shades ANY hit triangle (skeleton.cpp:268 has no material test)
     prim_diffuse = valid if cfg.cpu_ref else valid & (mat > 0)
@@ -438,57 +468,92 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         return _shade_tile(cfg, cam_in, prim_diffuse, term_valid, lit,
                            p_pos, p_nrm, p_rgb, t_pos, t_nrm, t_rgb, w)
 
-    primal, vjp3 = jax.vjp(f3, cam_vals, pos, normal, rgb,
-                           term_pos, term_nrm, term_rgb, weight)
+    if "dcam" in ablate:
+        primal, vjp3p = jax.vjp(functools.partial(f3, cam_vals), pos, normal,
+                                rgb, term_pos, term_nrm, term_rgb, weight)
+        (dpos3, dnrm3, drgb3, dt_pos, dt_nrm, dt_rgb, dw) = vjp3p(g)
+        dcam3 = (jnp.float32(0.0),) * CAM_COLS
+    else:
+        primal, vjp3 = jax.vjp(f3, cam_vals, pos, normal, rgb,
+                               term_pos, term_nrm, term_rgb, weight)
+        (dcam3, dpos3, dnrm3, drgb3, dt_pos, dt_nrm, dt_rgb, dw) = vjp3(g)
     img_ref[0] = primal[0]
     img_ref[1] = primal[1]
     img_ref[2] = primal[2]
-    (dcam3, dpos3, dnrm3, drgb3, dt_pos, dt_nrm, dt_rgb, dw) = vjp3(g)
 
-    # --- scatter helpers ---
-    # Sphere cotangents: SMEM accumulates (spheres are always few).
-    def scatter_sph(ids, dflat):
-        for s in range(n_sph):
-            m = ids == n_tri + s
+    # --- scatter helpers: object cotangents for one site (prim / bounce k)
+    if fast_scatter:
+        # Presence-gated VMEM accumulate — the round-4 scatter. The old
+        # per-(object, col) tile->scalar masked sums were ~75% of the whole
+        # backward (r4 ablation: 1.9 -> 0.5 ms without them at 512^2 aa4):
+        # each jnp.sum/jnp.any is a serialized cross-lane reduction. Here
+        # instead (a) the per-(site, tile) set of hit objects arrives as a
+        # precomputed SMEM bitword (one OR-reduce over the residual ids,
+        # done OUTSIDE the kernel by XLA), so the gate is a free scalar bit
+        # test, and (b) the masked sums reduce only over the AA axis into a
+        # persistent (n_obj, 16, TILE_H, TILE_W) VMEM table — plain vector
+        # adds — which the caller reduces across lanes ONCE at the end.
+        n_obj = n_tri + n_sph
 
-            @pl.when(jnp.any(m))
-            def _(s=s, m=m):
-                mf = m.astype(_F)
-                for c in range(3):       # center
-                    dsph_ref[s, c] += jnp.sum(mf * dflat[c])
-                for c in range(3):       # rgb
-                    dsph_ref[s, 4 + c] += jnp.sum(mf * dflat[12 + c])
-                dsph_ref[s, 3] += jnp.sum(mf * dflat[15])   # r2
-
-    if streamed:
-        # Triangle cotangents: written per lane at the (possibly traced)
-        # site index; the caller segment-sums them over recorded ids.
-        def scatter_tri(site, dflat, ids=None):
-            for c in range(16):
-                dlane_ref[pl.ds(site * 16 + c, 1)] = dflat[c][None]
+        def scatter_site(site, dflat, ids):
+            pres = pres_ref[site, 0, 0]
+            for o in range(n_obj):
+                @pl.when(((pres >> o) & 1) != 0)
+                def _(o=o):
+                    mf = (ids == o).astype(_F)
+                    for c in range(16):
+                        dobj_ref[o, c] = (dobj_ref[o, c]
+                                          + jnp.sum(mf * dflat[c], axis=0))
     else:
-        # Triangle cotangents: per-object masked sums into the SMEM table.
-        # The pl.when gate skips the 15 tile reductions for every object no
-        # ray of this tile hit — each tile touches only a handful of
-        # objects, so the loop is mostly the cheap any() test. Small scenes
-        # unroll (static SMEM offsets); larger SMEM scenes run a fori_loop
-        # with dynamic accumulates so compile time stays O(1).
-        def scatter_tri(site, dflat, ids):
-            def one(o, m):
-                @pl.when(jnp.any(m))
-                def _():
-                    mf = m.astype(_F)
-                    for c in range(15):  # v0,e1,e2,n,rgb -> cols 0..14
-                        dtri_ref[o, c] += jnp.sum(mf * dflat[c])
+        # Sphere cotangents: SMEM accumulates (spheres are always few).
+        def scatter_sph(ids, dflat):
+            for s in range(n_sph):
+                m = ids == n_tri + s
 
-            if n_tri <= UNROLL_TRIANGLES:
-                for o in range(n_tri):
-                    one(o, ids == o)
-            else:
-                def body(o, _):
-                    one(o, ids == o)
-                    return 0
-                jax.lax.fori_loop(0, n_tri, body, 0)
+                @pl.when(jnp.any(m))
+                def _(s=s, m=m):
+                    mf = m.astype(_F)
+                    for c in range(3):       # center
+                        dsph_ref[s, c] += jnp.sum(mf * dflat[c])
+                    for c in range(3):       # rgb
+                        dsph_ref[s, 4 + c] += jnp.sum(mf * dflat[12 + c])
+                    dsph_ref[s, 3] += jnp.sum(mf * dflat[15])   # r2
+
+        if streamed:
+            # Triangle cotangents: written per lane at the (possibly
+            # traced) site index; the caller segment-sums them over the
+            # recorded ids.
+            def scatter_tri(site, dflat, ids=None):
+                for c in range(16):
+                    dlane_ref[pl.ds(site * 16 + c, 1)] = dflat[c][None]
+        else:
+            # >32-object SMEM scenes: per-object masked sums into the SMEM
+            # table, any()-gated (each tile touches only a handful of
+            # objects). fori_loop keeps compile time O(1) in scene size.
+            def scatter_tri(site, dflat, ids):
+                def one(o, m):
+                    @pl.when(jnp.any(m))
+                    def _():
+                        mf = m.astype(_F)
+                        for c in range(15):  # v0,e1,e2,n,rgb -> cols 0..14
+                            dtri_ref[o, c] += jnp.sum(mf * dflat[c])
+
+                if n_tri <= UNROLL_TRIANGLES:
+                    for o in range(n_tri):
+                        one(o, ids == o)
+                else:
+                    def body(o, _):
+                        one(o, ids == o)
+                        return 0
+                    jax.lax.fori_loop(0, n_tri, body, 0)
+
+        def scatter_site(site, dflat, ids):
+            scatter_tri(site, dflat, ids)
+            scatter_sph(ids, dflat)
+
+    if "scatter" in ablate:
+        def scatter_site(site, dflat, ids):
+            pass
 
     # --- part 2 backward: reverse dynamic loop with in-loop scatter ---
     if B > 0:
@@ -526,8 +591,7 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
 
             _, vjpk = jax.vjp(step, row_diffs, carr_k)
             drow, dcarr_prev = vjpk(dcarr)
-            scatter_tri(1 + k, drow, ids_k)
-            scatter_sph(ids_k, drow)
+            scatter_site(1 + k, drow, ids_k)
             return dcarr_prev
 
         dcarr0 = jax.lax.fori_loop(0, n_live, rbody,
@@ -540,35 +604,40 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
     # --- part 1 backward: summed cotangents from shading and the chain ---
     dcam1, dprim = vjp1((dd_c, _add(dpos3, dpos_c), _add(dnrm3, dnrm_c),
                          drgb3))
-    scatter_tri(0, dprim, pid)
-    scatter_sph(pid, dprim)
+    scatter_site(0, dprim, pid)
 
-    for k in range(CAM_COLS):
-        dcam_ref[0, k] += dcam1[k] + dcam3[k]
+    for k in range(CAM_COLS):   # (TILE_H, TILE_W) tiles: plain vector adds
+        dcam_ref[k] = dcam_ref[k] + dcam1[k] + dcam3[k]
 
 
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_tri", "n_sph", "hp",
-                                             "wp", "interpret", "streamed"))
-def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, cfg: RenderConfig,
+                                             "wp", "interpret", "streamed",
+                                             "ablate"))
+def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, pres, cfg: RenderConfig,
               n_tri: int, n_sph: int, hp: int, wp: int,
-              interpret: bool = False, streamed: bool = False):
+              interpret: bool = False, streamed: bool = False,
+              ablate: frozenset = frozenset()):
     grid = (hp // TILE_H, wp // TILE_W)
     A = cfg.aa_rays
     B = max(cfg.bounces, 1)   # bid is padded to >=1 so the spec is static
     sites = 1 + cfg.bounces   # prim + one per bounce
+    fast_scatter = pres is not None
     kernel = functools.partial(_bwd_kernel, cfg=cfg, n_tri=n_tri,
-                               n_sph=n_sph, streamed=streamed)
+                               n_sph=n_sph, streamed=streamed,
+                               fast_scatter=fast_scatter, ablate=ablate)
     sph_spec = pl.BlockSpec((max(n_sph, 1), SPH_COLS), lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
-    cam_spec = pl.BlockSpec((1, CAM_COLS), lambda i, j: (0, 0),
-                            memory_space=pltpu.SMEM)
+    # dcam: persistent VMEM tile accumulator (caller reduces once)
+    cam_spec = pl.BlockSpec((CAM_COLS, TILE_H, TILE_W), lambda i, j: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
     img_spec = pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
     sph_shape = jax.ShapeDtypeStruct((max(n_sph, 1), SPH_COLS), jnp.float32)
-    cam_shape = jax.ShapeDtypeStruct((1, CAM_COLS), jnp.float32)
+    cam_shape = jax.ShapeDtypeStruct((CAM_COLS, TILE_H, TILE_W), jnp.float32)
     img_shape = jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)
+    chain_scr = pltpu.VMEM((B, _SCR_LEAVES, A, TILE_H, TILE_W), jnp.float32)
     if streamed:
         out_specs = [
             sph_spec, cam_spec, img_spec,
@@ -582,9 +651,22 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, cfg: RenderConfig,
         ]
         scratch = [pltpu.SMEM((2, STREAM_BLK, STREAM_COLS), jnp.float32),
                    pltpu.SemaphoreType.DMA((2,)),
-                   pltpu.VMEM((B, _SCR_LEAVES, A, TILE_H, TILE_W),
-                              jnp.float32)]
+                   chain_scr]
         tri_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    elif fast_scatter:
+        n_obj = n_tri + n_sph
+        out_specs = [
+            pl.BlockSpec((n_obj, 16, TILE_H, TILE_W),
+                         lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            cam_spec, img_spec,
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_obj, 16, TILE_H, TILE_W), jnp.float32),
+            cam_shape, img_shape,
+        ]
+        scratch = [chain_scr]
+        tri_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     else:
         out_specs = [
             pl.BlockSpec((n_tri, TRI_COLS), lambda i, j: (0, 0),
@@ -595,26 +677,31 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, cfg: RenderConfig,
             jax.ShapeDtypeStruct((n_tri, TRI_COLS), jnp.float32),
             sph_shape, cam_shape, img_shape,
         ]
-        scratch = [pltpu.VMEM((B, _SCR_LEAVES, A, TILE_H, TILE_W),
-                              jnp.float32)]
+        scratch = [chain_scr]
         tri_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [
+        tri_spec,
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((A, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((A, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, A, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [tri, sph, cam, off, g, pid, lit, bid]
+    if fast_scatter:
+        in_specs.append(pl.BlockSpec((sites, 1, 1), lambda i, j: (0, i, j),
+                                     memory_space=pltpu.SMEM))
+        inputs.append(pres)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            tri_spec,
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, TILE_H, TILE_W), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, TILE_H, TILE_W), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, A, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -624,12 +711,15 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, cfg: RenderConfig,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(tri, sph, cam, off, g, pid, lit, bid)
+    )(*inputs)
     if streamed:
         dsph, dcam, img, dlane = outs
-        return None, dsph, dcam, img, dlane
+        return None, dsph, dcam, img, dlane, None
+    if fast_scatter:
+        dobj, dcam, img = outs
+        return None, None, dcam, img, None, dobj
     dtri, dsph, dcam, img = outs
-    return dtri, dsph, dcam, img, None
+    return dtri, dsph, dcam, img, None, None
 
 
 def _pad_hw(x, hp, wp, fill):
@@ -677,9 +767,46 @@ def render_replay_bwd(scene: Scene, cfg: RenderConfig, res, g,
     else:
         bid = jnp.full((1,) + pid.shape, -1, jnp.int32)
 
-    dtri, dsph, dcam, img, dlane = _call_bwd(
-        tri, sph, cam, off, g3, pid, lit, bid, cfg, n_tri, n_sph, hp, wp,
-        interpret, streamed=streamed)
+    import os
+    ablate = frozenset(x for x in os.environ.get(
+        "RAYTPU_BWD_ABLATE", "").split(",") if x)
+
+    # Presence bitwords for the fast in-kernel scatter: for every
+    # (site, 8x128 tile), the OR over its lanes of (1 << hit_id) — one
+    # cheap XLA reduction over residuals the backward reads anyway. Only
+    # scenes with <= 32 objects qualify (one int32 word; covers every
+    # Cornell/BASELINE config); larger SMEM scenes keep the any()-gated
+    # scalar scatter and streamed scenes the segment-sum route.
+    n_obj = n_tri + n_sph
+    if not streamed and n_obj <= 32:
+        ids_sites = (jnp.concatenate([pid[None], bid], axis=0)
+                     if cfg.bounces > 0 else pid[None])
+        sites = ids_sites.shape[0]
+        r = ids_sites.reshape(sites, -1, hp // TILE_H, TILE_H,
+                              wp // TILE_W, TILE_W)
+        bits = jnp.where(r >= 0,
+                         jnp.left_shift(jnp.int32(1), jnp.maximum(r, 0)),
+                         jnp.int32(0))   # max: no negative shift amounts
+        pres = jax.lax.reduce(bits, jnp.int32(0), jax.lax.bitwise_or,
+                              (1, 3, 5))
+    else:
+        pres = None
+
+    dtri, dsph, dcam, img, dlane, dobj = _call_bwd(
+        tri, sph, cam, off, g3, pid, lit, bid, pres, cfg, n_tri, n_sph,
+        hp, wp, interpret, streamed=streamed, ablate=ablate)
+    dcam_vec = jnp.sum(dcam, axis=(1, 2))[None]   # [1, CAM_COLS]
+    if dobj is not None:
+        # one deferred reduction of the unified VMEM accumulator
+        sums = jnp.sum(dobj, axis=(-2, -1))       # [n_obj, 16]
+        dtri = jnp.zeros((t_pad, TRI_COLS), jnp.float32
+                         ).at[:n_tri, :15].set(sums[:n_tri, :15])
+        dsph = jnp.zeros((max(n_sph, 1), SPH_COLS), jnp.float32)
+        if n_sph:
+            s = sums[n_tri:]
+            dsph = (dsph.at[:, 0:3].set(s[:, 0:3])      # center
+                        .at[:, 3].set(s[:, 15])         # r2
+                        .at[:, 4:7].set(s[:, 12:15]))   # rgb
     if streamed:
         # Scatter the per-lane triangle cotangents into the table outside
         # the kernel: one segment-sum over the recorded hit ids. Traffic is
@@ -699,7 +826,7 @@ def render_replay_bwd(scene: Scene, cfg: RenderConfig, res, g,
                          ).at[:, :15].set(sums[:, :15])
     if n_sph == 0:
         dsph = jnp.zeros((1, SPH_COLS), jnp.float32)  # matches pack_scene pad
-    (scene_bar,) = pack_vjp((dtri, dsph, dcam[0]))
+    (scene_bar,) = pack_vjp((dtri, dsph, dcam_vec[0]))
     if return_primal:
         # replayed radiance (the vjp's primal) — for kernel-vs-replay tests
         return scene_bar, jnp.transpose(img[:, :rows, :cfg.width], (1, 2, 0))

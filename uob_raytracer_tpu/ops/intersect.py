@@ -199,7 +199,8 @@ def _combine_tri_best(best: _TriBest, tri_axis: str) -> _TriBest:
 def _best_triangle_pallas(ds: DeviceScene, start, d) -> _TriBest:
     """Per-shard nearest triangle hit through the streamed Pallas partial
     kernel (``kernels/partial.py``) — the production tp path. Same combine
-    contract as ``_best_triangle``; forward-only (no VJP)."""
+    contract as ``_best_triangle``; differentiable via the kernel's
+    path-replay custom_vjp (frozen visibility, like the jnp argmin)."""
     from ..kernels.partial import nearest_tris_pallas
     t, pos, nrm, rgb, mat, idx = nearest_tris_pallas(
         ds.v0, ds.e1, ds.e2, ds.n, ds.rgb, ds.mat, start, d)
@@ -217,7 +218,7 @@ def intersect(ds: DeviceScene, start, d, tri_axis: str | None = None,
     """Nearest hit for rays (start [N,3], d [N,3]).
 
     tri_pass='pallas' runs the triangle scan through the streamed partial
-    kernel (forward-only; pair with tri_axis for tp sharding)."""
+    kernel (differentiable; pair with tri_axis for tp sharding)."""
     if tri_pass == "pallas":
         best = _best_triangle_pallas(ds, start, d)
     else:

@@ -27,10 +27,34 @@ from jax.sharding import Mesh
 from ..scene import Scene
 
 
+def select_devices(spec: str | None = None, verbose: bool = False):
+    """Device selection — the ``OCL_DEVICE`` analogue
+    (``Source/skeleton.cpp:549-558``): ``spec`` (or the ``RAYTPU_DEVICES``
+    env var) is a comma-separated list of device indices into
+    ``jax.devices()``; unset selects all. ``verbose`` prints the enumerated
+    device list like the reference's ``selectOpenCLDevice``
+    (``skeleton.cpp:541-547``)."""
+    import os
+    devices = jax.devices()
+    if verbose:
+        for i, d in enumerate(devices):
+            print(f"  device {i}: {d}")
+    spec = spec if spec is not None else os.environ.get("RAYTPU_DEVICES")
+    if not spec:
+        return devices
+    idx = [int(s) for s in spec.split(",") if s.strip() != ""]
+    bad = [i for i in idx if not 0 <= i < len(devices)]
+    if bad:   # fail fast, as the reference's device-index validation does
+        raise ValueError(f"device indices {bad} out of range "
+                         f"(have {len(devices)} devices)")
+    return [devices[i] for i in idx]
+
+
 def make_mesh(dp: int | None = None, tp: int = 1, devices=None) -> Mesh:
-    """Build a ('dp', 'tp') mesh. Defaults: all devices on dp."""
+    """Build a ('dp', 'tp') mesh. Defaults: every selected device on dp
+    (``select_devices`` honors the RAYTPU_DEVICES env var)."""
     if devices is None:
-        devices = jax.devices()
+        devices = select_devices()
     if dp is None:
         dp = len(devices) // tp
     n = dp * tp

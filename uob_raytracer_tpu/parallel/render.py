@@ -51,8 +51,10 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     shard rendering its row band (path-replay backward included) — the
     production multi-chip path on TPU. With tp > 1 it runs the per-shard
     pipeline with the triangle scans in the streamed partial Pallas kernels
-    (``kernels/partial.py``) combined over ICI — forward-only (training
-    with tp uses backend='jnp', which is fully differentiable).
+    (``kernels/partial.py``) combined over ICI — also differentiable: the
+    partial kernels carry a path-replay custom_vjp whose triangle
+    cotangents are segment-summed per shard and psum'd by the shard_map
+    transpose, so tp training runs the production kernels end to end.
 
     shadow_quads: static quad pairing for the pallas occlusion scan, as in
     ``render.render_image`` — pass it so every shard runs the same
@@ -78,9 +80,8 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     rows_per_shard = H // n_dp
     # tp>1 + pallas: the jnp per-shard pipeline with its triangle scans
     # routed through the streamed partial kernels (kernels/partial.py) and
-    # the pmin/tie/psum combine over ICI — the production large-scene path.
-    # Forward-only (the partial kernels define no VJP); training with tp
-    # uses tri_pass='jnp'.
+    # the pmin/tie/psum combine over ICI — the production large-scene path,
+    # forward AND backward (path-replay custom_vjp on the partial kernels).
     tri_pass = "jnp"
     if backend == "pallas" and tp:
         backend, tri_pass = "jnp", "pallas"
