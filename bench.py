@@ -410,60 +410,101 @@ def bench_multihost_sim(rows: int = 32, iters: int = 4,
 
 
 def bench_roofline(scene, iters: int) -> dict:
-    """Speed-of-light analysis of the fused kernels on this chip: analytic
-    VPU vector-op counts (flops.py, exact per-step bounce activity from
-    recorded residuals) vs the measured chained-FMA VPU ceiling — for the
-    forward kernel AND the path-replay backward (bwd time = fwd+bwd step
-    minus the forward frame)."""
+    """Speed-of-light analysis of the fused kernels on this chip.
+
+    Op counts come from a mechanical jaxpr CENSUS of the actual kernels
+    (flops.census_kernel_ops — exact; only the bounce-loop weight and the
+    scatter-gate taken fraction are measured inputs, both taken from
+    recorded residuals), and the ceiling is a chained Pallas kernel whose
+    op BLEND matches the census distribution, counted the same way — so
+    whatever Mosaic fuses applies to both sides and the ratio is a
+    like-for-like utilization (VERDICT r3 task 8). The legacy hand counts
+    and single-op ceilings are reported alongside for continuity."""
+    import numpy as np
     from uob_raytracer_tpu.flops import (backward_ops,
                                          bounce_tile_fracs_from_residuals,
-                                         forward_ops, measure_vpu_peak)
-    from uob_raytracer_tpu.kernels.render_fwd import render_fused_res
+                                         census_kernel_ops, forward_ops,
+                                         measure_vpu_peak)
+    from uob_raytracer_tpu.kernels.render_bwd import render_replay_bwd
+    from uob_raytracer_tpu.kernels.render_fwd import (TILE_H, TILE_W,
+                                                      render_fused_raw,
+                                                      render_fused_res)
 
     cfg = rt.RenderConfig(width=512, height=512, aa_x=2, aa_y=2,
                           shadow_samples=10, bounces=1)
     n_tri = scene.tri_v0.shape[0]
     n_sph = scene.sph_center.shape[0]
+    n_obj = n_tri + n_sph
     _, _, res = render_fused_res(scene, cfg)
     fracs = bounce_tile_fracs_from_residuals(res, cfg.bounces)
-    ops = forward_ops(cfg, n_tri, n_sph, fracs)
+    live = float(np.sum(fracs))
+    lanes = cfg.width * cfg.height * cfg.aa_rays
+    lanes_per_tile = cfg.aa_rays * TILE_H * TILE_W
+
+    # scatter-gate taken fraction: mean (#distinct objects present per
+    # (site, tile)) / n_obj over the recorded residual ids
+    ids = np.asarray(res.prim_id)[None]
+    if cfg.bounces > 0:
+        ids = np.concatenate([ids, np.asarray(res.bounce_id)], axis=0)
+    t = ids.reshape(ids.shape[0], cfg.aa_rays, cfg.height // TILE_H, TILE_H,
+                    cfg.width // TILE_W, TILE_W)
+    present = np.zeros(t.shape[:1] + (t.shape[2], t.shape[4], n_obj), bool)
+    for o in range(n_obj):
+        present[..., o] = (t == o).any(axis=(1, 3, 5))
+    gate_frac = float(present.mean())
+
+    census_f = census_kernel_ops(
+        lambda s: render_fused_raw(s, cfg), scene,
+        while_weight=live, lanes_per_tile=lanes_per_tile)
+    g0 = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32) + 1e-3
+    census_b = census_kernel_ops(
+        lambda s: render_replay_bwd(s, cfg, res, g0), scene,
+        while_weight=live, cond_weight=gate_frac,
+        lanes_per_tile=lanes_per_tile)
+
+    ops = forward_ops(cfg, n_tri, n_sph, fracs)          # legacy hand count
     bops = backward_ops(cfg, n_tri, n_sph, fracs)
     dt = time_scalar_fn(_fwd_scalar(cfg, "pallas"), scene, iters)
     dt_step = time_scalar_fn(_step_scalar(cfg, "pallas"), scene,
                              max(4, iters // 2))
     dt_bwd = max(dt_step - dt, 1e-9)
     peaks = measure_vpu_peak()
-    peak = max(peaks.values())
-    util = ops["total"] / dt / peak
-    butil = bops["total"] / dt_bwd / peak
+    cen_f_total = census_f["per_lane"] * lanes
+    cen_b_total = census_b["per_lane"] * lanes
+    util = cen_f_total / dt / peaks["mix"]
+    butil = cen_b_total / dt_bwd / peaks["mix"]
     out = {
-        "ops_per_frame": ops["total"],
-        "per_lane_ops": ops["per_lane"],
-        "bounce_tile_fracs": [round(f, 4) for f in fracs],
-        "frame_ms": round(dt * 1e3, 3),
-        "achieved_ops_s": round(ops["total"] / dt),
-        "vpu_peak_ops_s": {k: round(v) for k, v in peaks.items()},
-        "vpu_utilization_vs_best_chain": round(util, 4),
-        "bwd": {
-            "ops_per_pass": bops["total"],
-            "per_lane_ops": bops["per_lane"],
-            "bwd_ms": round(dt_bwd * 1e3, 3),
-            "achieved_ops_s": round(bops["total"] / dt_bwd),
-            "vpu_utilization_vs_best_chain": round(butil, 4),
+        "census": {
+            "fwd_per_lane": round(census_f["per_lane"], 1),
+            "bwd_per_lane": round(census_b["per_lane"], 1),
+            "fwd_top_prims": census_f["counts"],
+            "gate_taken_frac": round(gate_frac, 4),
+            "unknown_frac": round(max(census_f["unknown_frac"],
+                                      census_b["unknown_frac"]), 5),
         },
+        "hand_count_per_lane": {"fwd": ops["per_lane"],
+                                "bwd": bops["per_lane"]},
+        "bounce_tile_fracs": [round(f, 4) for f in fracs],
+        "frame_ms": dt.ms_dict(),
+        "bwd_ms": round(dt_bwd * 1e3, 3),
+        "achieved_census_ops_s": {"fwd": round(cen_f_total / dt),
+                                  "bwd": round(cen_b_total / dt_bwd)},
+        "vpu_peak_ops_s": {k: round(v) for k, v in peaks.items()},
+        "vpu_utilization_vs_mix_chain": {"fwd": round(util, 4),
+                                         "bwd": round(butil, 4)},
     }
-    print(f"# roofline fwd: {ops['total']/1e9:.2f} G vector-ops/frame "
-          f"(per-lane {ops['per_lane']}), frame {dt*1e3:.2f} ms -> "
-          f"{ops['total']/dt/1e12:.2f} T ops/s vs measured VPU ceilings "
-          f"fma {peaks['fma']/1e12:.2f} / add {peaks['add']/1e12:.2f} "
-          f"T ops/s = {util:.1%} of the best single-op chain "
-          f"(>100% = VPU co-issue across units; issue-bound)",
+    print(f"# roofline fwd: census {cen_f_total/1e9:.2f} G ops/frame "
+          f"({census_f['per_lane']:.0f}/lane; hand count said "
+          f"{sum(v for v in ops['per_lane'].values()):.0f}), frame "
+          f"{dt*1e3:.2f} ms -> {cen_f_total/dt/1e12:.2f} T census-ops/s "
+          f"vs mix-chain ceiling {peaks['mix']/1e12:.2f} T = {util:.1%} "
+          f"(single-op chains: fma {peaks['fma']/1e12:.2f}, add "
+          f"{peaks['add']/1e12:.2f} T)", file=sys.stderr)
+    print(f"# roofline bwd: census {cen_b_total/1e9:.2f} G ops/pass "
+          f"({census_b['per_lane']:.0f}/lane), bwd {dt_bwd*1e3:.2f} ms -> "
+          f"{cen_b_total/dt_bwd/1e12:.2f} T census-ops/s = {butil:.1%} of "
+          f"the mix-chain ceiling (gate taken frac {gate_frac:.2%})",
           file=sys.stderr)
-    print(f"# roofline bwd: {bops['total']/1e9:.2f} G vector-ops/pass "
-          f"(per-lane {bops['per_lane']}), bwd {dt_bwd*1e3:.2f} ms -> "
-          f"{bops['total']/dt_bwd/1e12:.2f} T ops/s = {butil:.1%} of the "
-          f"best single-op chain (op counts carry ±15-20% hand-count "
-          f"uncertainty)", file=sys.stderr)
     return out
 
 
@@ -513,11 +554,12 @@ def main() -> None:
         # NOTE: "value" here is a VPU-utilization fraction (target 1.0),
         # not a rays/s-vs-target ratio like the default bench output —
         # the metric string and the "roofline" payload carry the detail.
+        u = res["vpu_utilization_vs_mix_chain"]["fwd"]
         print(json.dumps({
-            "metric": "VPU utilization vs best single-op chain "
+            "metric": "VPU utilization vs census-matched mix chain "
                       "(fused fwd kernel, 512^2 aa4 s10 b1; target 1.0)",
-            "value": res["vpu_utilization_vs_best_chain"], "unit": "fraction",
-            "vs_baseline": res["vpu_utilization_vs_best_chain"],
+            "value": u, "unit": "fraction",
+            "vs_baseline": u,
             "roofline": res}))
         return
 

@@ -115,6 +115,154 @@ def backward_ops(cfg: RenderConfig, n_tri: int, n_sph: int,
     }
 
 
+# ---------------------------------------------------------------------------
+# Jaxpr op census: counts the vector work in the ACTUAL traced kernel
+# (VERDICT r3 task 8 — replaces the ±15-20% hand counts with a mechanical
+# census of the pallas kernel jaxpr, leaving only the loop/branch execution
+# weights as measured inputs).
+# ---------------------------------------------------------------------------
+
+# elementwise primitives that issue as one VPU op per element
+_ELEMWISE = {
+    "add", "sub", "mul", "div", "sqrt", "rsqrt", "neg", "abs", "sign",
+    "min", "max", "lt", "gt", "ge", "le", "eq", "ne", "and", "or", "not",
+    "xor", "select_n", "shift_left", "shift_right_logical",
+    "shift_right_arithmetic", "convert_element_type", "iota", "exp", "log",
+    "floor", "ceil", "round", "rem", "clamp", "square",
+    "add_any",   # transpose-of-duplicate accumulation: one vector add
+}
+_FREE = {
+    # layout/metadata-only or scalar-unit work (counting rules above):
+    "bitcast", "broadcast_in_dim", "reshape", "squeeze", "concatenate",
+    "slice", "dynamic_slice", "dynamic_update_slice", "transpose",
+    "pad", "rev", "program_id", "debug_callback", "stop_gradient", "copy",
+    "get", "swap", "masked_load", "masked_swap", "addupdate",  # ref ops
+    "dma_start", "dma_wait", "semaphore_signal", "semaphore_wait",
+}
+_REDUCE = {"reduce_sum", "reduce_max", "reduce_min", "reduce_and",
+           "reduce_or", "reduce_prod", "argmin", "argmax"}
+
+
+def _aval_elems(aval) -> int:
+    n = 1
+    for s in getattr(aval, "shape", ()):
+        n *= int(s)
+    return n
+
+
+def census_jaxpr(jaxpr, weight: float, counts: dict,
+                 while_weight: float, cond_weight: float) -> None:
+    """Accumulate per-primitive element-op counts for one jaxpr.
+
+    Scalars (shape ()) count zero — they ride the scalar unit alongside the
+    vector stream, the same rule as the hand counts. scan bodies multiply
+    by their static trip count; while bodies by ``while_weight`` (the
+    measured execution count — e.g. expected live bounce steps per tile);
+    cond branches by ``cond_weight`` (measured taken fraction)."""
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "scan":
+            census_jaxpr(eqn.params["jaxpr"].jaxpr,
+                         weight * eqn.params["length"], counts,
+                         while_weight, cond_weight)
+        elif name == "while":
+            census_jaxpr(eqn.params["cond_jaxpr"].jaxpr,
+                         weight * while_weight, counts,
+                         while_weight, cond_weight)
+            census_jaxpr(eqn.params["body_jaxpr"].jaxpr,
+                         weight * while_weight, counts,
+                         while_weight, cond_weight)
+        elif name == "cond":
+            for br in eqn.params["branches"]:
+                census_jaxpr(br.jaxpr, weight * cond_weight, counts,
+                             while_weight, cond_weight)
+        elif name == "pallas_call":
+            census_jaxpr(eqn.params["jaxpr"], weight, counts,
+                         while_weight, cond_weight)
+        elif name in ("jit", "closed_call", "core_call", "custom_jvp_call",
+                      "custom_vjp_call", "custom_vjp_call_jaxpr",
+                      "remat_call", "checkpoint", "pjit"):
+            inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            if inner is not None:
+                census_jaxpr(getattr(inner, "jaxpr", inner), weight, counts,
+                             while_weight, cond_weight)
+        elif name in _ELEMWISE:
+            elems = max(_aval_elems(v.aval) for v in eqn.outvars)
+            if elems > 1:   # scalars ride the scalar unit
+                counts[name] = counts.get(name, 0.0) + weight * elems
+        elif name == "integer_pow":
+            elems = max(_aval_elems(v.aval) for v in eqn.outvars)
+            if elems > 1:   # x**k by square-and-multiply
+                k = abs(int(eqn.params["y"]))
+                cost = max(k.bit_length() - 1 + bin(k).count("1") - 1, 1)
+                counts["integer_pow"] = (counts.get("integer_pow", 0.0)
+                                         + weight * elems * cost)
+        elif name in _REDUCE:
+            elems = max(_aval_elems(v.aval) for v in eqn.invars
+                        if hasattr(v, "aval"))
+            if elems > 1:   # tree of N-1 combines
+                counts[name] = counts.get(name, 0.0) + weight * elems
+        elif name in _FREE:
+            pass
+        else:
+            counts.setdefault("_unknown:" + name, 0.0)
+            counts["_unknown:" + name] += weight * max(
+                (_aval_elems(v.aval) for v in eqn.outvars), default=0)
+        # keep a rough account of vector loads/stores for the record
+        if name in ("get", "swap"):
+            elems = max((_aval_elems(v.aval) for v in eqn.outvars),
+                        default=0)
+            if elems > 1:
+                counts["_mem"] = counts.get("_mem", 0.0) + weight * elems
+
+
+def _find_pallas_jaxpr(jaxpr):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "pallas_call":
+            return eqn.params["jaxpr"]
+        for v in eqn.params.values():
+            inner = getattr(v, "jaxpr", v if hasattr(v, "eqns") else None)
+            if inner is not None and hasattr(inner, "eqns"):
+                r = _find_pallas_jaxpr(inner)
+                if r is not None:
+                    return r
+    return None
+
+
+def census_kernel_ops(trace_fn, example_scene, *, while_weight: float,
+                      cond_weight: float = 1.0,
+                      lanes_per_tile: int) -> dict:
+    """Mechanical vector-op census of the pallas kernel inside
+    ``trace_fn(scene)``: counts every elementwise primitive in the traced
+    kernel jaxpr (exact — the Cornell scans unroll into it), with only the
+    bounce while-loop weight (measured live steps per tile) and cond taken
+    fraction supplied from residuals. Returns per-lane op counts; the
+    uncertainty left is the op->VPU-instruction mapping (Mosaic may fuse a
+    few selects/FMAs), well under the hand-count's ±15-20%."""
+    import jax
+
+    jx = jax.make_jaxpr(trace_fn)(example_scene)
+    kj = _find_pallas_jaxpr(jx.jaxpr)
+    if kj is None:
+        raise ValueError("no pallas_call found in traced function")
+    counts: dict = {}
+    census_jaxpr(kj, 1.0, counts, while_weight, cond_weight)
+    vector = sum(v for k, v in counts.items()
+                 if not k.startswith("_"))
+    unknown = sum(v for k, v in counts.items() if k.startswith("_unknown"))
+    return {
+        "per_lane": vector / lanes_per_tile,
+        "per_lane_mem": counts.get("_mem", 0.0) / lanes_per_tile,
+        "unknown_frac": unknown / max(vector, 1.0),
+        "counts": {k: round(v) for k, v in sorted(
+            counts.items(), key=lambda kv: -kv[1])[:12]},
+    }
+
+
+MIX_OPS_PER_ITER = 17   # jaxpr ops per element per iteration of the "mix"
+                        # calibration chain below (count them in the body!)
+
+
 def measure_vpu_peak(iters: int = 20) -> dict:
     """Empirical VPU f32 ceilings of this chip, in vector ops/s (FMA = 1 op).
 
@@ -122,11 +270,18 @@ def measure_vpu_peak(iters: int = 20) -> dict:
     VMEM-resident (8,128) tiles — enough ILP to cover the op latency (a
     single dependent chain measures latency, ~5x lower) — measured with the
     same slope-timed chained harness as bench.time_scalar_fn so tunneled
-    host-fetch latency cancels. Returns {"fma": ops/s, "add": ops/s}; on a
-    v5e these land ~2.2e12 and ~2.8e12. A mixed-op stream (the ray tracer's
-    mul/cmp/select/add blend) can exceed single-op-type chains when the VPU
-    co-issues across functional units, so counted-ops rates above these
-    ceilings mean issue-bound, not a measurement error."""
+    host-fetch latency cancels. Returns {"fma", "add", "mix"} in ops/s; on
+    a v5e the single-op chains land ~2.2e12 and ~2.8e12.
+
+    "mix" is the calibration ceiling for the jaxpr op census
+    (``census_kernel_ops``): a chain whose op blend matches the render
+    kernel's census distribution (~40% mul, ~20% compare, ~15% add/sub,
+    bitwise/select/neg for the rest), COUNTED THE SAME WAY (jaxpr ops per
+    element, MIX_OPS_PER_ITER per iteration). Whatever Mosaic fuses or
+    co-issues applies to both the kernel and this chain, so
+    census-ops/s(kernel) / census-ops/s(mix) is a like-for-like
+    utilization — the ≤5% restatement VERDICT r3 task 8 asked for (the
+    residual uncertainty is the blend mismatch)."""
     import time
 
     import jax
@@ -136,15 +291,40 @@ def measure_vpu_peak(iters: int = 20) -> dict:
     H = W = 512
     INNER, K = 500, 16
 
-    def make_kernel(fma: bool):
+    def make_kernel(mode: str):
         def kernel(x_ref, o_ref):
             x = x_ref[...]
             accs = [x * np.float32(1.0 + 1e-7 * k) for k in range(K)]
 
             def body(i, accs):
-                if fma:
+                if mode == "fma":
                     return tuple(a * x + np.float32(1e-7) for a in accs)
-                return tuple(a + x for a in accs)
+                if mode == "add":
+                    return tuple(a + x for a in accs)
+                # mix: MIX_OPS_PER_ITER (17) jaxpr ops per element, blended
+                # to the render kernel's census profile:
+                # 6 mul, 3 cmp, 2 add, 2 select, 1 sub, 1 neg, 1 and, 1 max
+                out = []
+                h = np.float32(0.5)
+                for a in accs:
+                    t1 = a * x                      # mul
+                    t2 = t1 * x                     # mul
+                    t3 = a * h                      # mul
+                    s1 = t1 + t2                    # add
+                    m1 = s1 >= t3                   # cmp
+                    m2 = t2 < a                     # cmp
+                    m3 = m1 & m2                    # and
+                    d = t3 - t1                     # sub
+                    n1 = -d                         # neg
+                    w = jnp.where(m3, n1, t2)       # select
+                    t4 = w * x                      # mul
+                    t5 = t4 * h                     # mul
+                    s2 = w + t5                     # add
+                    m4 = s2 != x                    # cmp
+                    t6 = jnp.maximum(s2, t4)        # max
+                    out.append(jnp.where(m4, t6, a) * np.float32(0.999)
+                               )                    # select+mul -> 16 total
+                return tuple(out)
 
             accs = jax.lax.fori_loop(0, INNER, body, tuple(accs))
             out = accs[0]
@@ -153,8 +333,8 @@ def measure_vpu_peak(iters: int = 20) -> dict:
             o_ref[...] = out
         return kernel
 
-    def rate(fma: bool) -> float:
-        kernel = make_kernel(fma)
+    def rate(mode: str) -> float:
+        kernel = make_kernel(mode)
 
         def run(x):
             return pl.pallas_call(
@@ -173,7 +353,7 @@ def measure_vpu_peak(iters: int = 20) -> dict:
                 return jnp.sum(jax.lax.fori_loop(0, n, body, x))
             return f
 
-        x = jnp.full((H, W), np.float32(0.001 if not fma else 0.99999))
+        x = jnp.full((H, W), np.float32(0.001 if mode == "add" else 0.99999))
         f1, f2 = chain(iters), chain(2 * iters)
 
         def best(f):
@@ -186,9 +366,10 @@ def measure_vpu_peak(iters: int = 20) -> dict:
             return min(ts)
 
         dt = max(best(f2) - best(f1), 1e-9) / iters
-        return H * W * INNER * K / dt
+        per_iter = MIX_OPS_PER_ITER if mode == "mix" else 1
+        return H * W * INNER * K * per_iter / dt
 
-    return {"fma": rate(True), "add": rate(False)}
+    return {"fma": rate("fma"), "add": rate("add"), "mix": rate("mix")}
 
 
 def bounce_tile_fracs_from_residuals(res, bounces: int):

@@ -450,12 +450,20 @@ def _nearest_hit_primary(tri_scan, sph_ref, n_tri, n_sph, cam, d,
     scan (hit position as start + t*d — same point as the u/v form up to
     rounding). ~3x fewer VPU ops than the general scan. Works through any
     scan strategy (whole-table SMEM or streamed): the per-triangle
-    invariants read scalars from SMEM either way."""
+    invariants read scalars from SMEM either way.
+
+    gather_scan=None (the streamed kernel) merges the winner-attribute
+    selects INTO the single scan: same op count as the two-pass split
+    (the gather pass costs one compare + 7 selects per item anyway) but
+    only ONE DMA sweep of the HBM-resident table instead of two — the
+    table traffic halves (VERDICT r3 task 7)."""
     shape = d[0].shape
     inf = jnp.full(shape, _BIG)
+    zero = jnp.zeros(shape)
+    merged = gather_scan is None
 
-    def tri_body(get, gi, carry):
-        t_b, idf = carry
+    def tri_core(get, carry_t):
+        """Shared-origin accept test; returns (ok, t)."""
         v0 = (get(0), get(1), get(2))
         e1 = (get(3), get(4), get(5))
         e2 = (get(6), get(7), get(8))
@@ -472,11 +480,31 @@ def _nearest_hit_primary(tri_scan, sph_ref, n_tri, n_sph, cam, d,
         u = -_dot(d, B2) * rA
         v = -_dot(d, B1) * rA
         ok = ((t >= 0) & (u >= 0) & (v >= 0) & ((u + v) <= 1)
-              & ~degen & (t < t_b))
-        return (jnp.where(ok, t, t_b),
-                jnp.where(ok, gi, idf))
+              & ~degen & (t < carry_t))
+        return ok, t
 
-    t_b, idf = tri_scan(tri_body, (inf, jnp.full(shape, _F(-1.0))))
+    if merged:
+        def tri_body(get, gi, carry):
+            t_b, nx, ny, nz, cr, cg, cb, mat, idf = carry
+            ok, t = tri_core(get, t_b)
+            return (jnp.where(ok, t, t_b),
+                    jnp.where(ok, get(9), nx), jnp.where(ok, get(10), ny),
+                    jnp.where(ok, get(11), nz), jnp.where(ok, get(12), cr),
+                    jnp.where(ok, get(13), cg), jnp.where(ok, get(14), cb),
+                    jnp.where(ok, get(15), mat), jnp.where(ok, gi, idf))
+
+        carry = tri_scan(tri_body, (inf, zero, zero, zero, zero, zero,
+                                    zero, jnp.ones(shape),
+                                    jnp.full(shape, _F(-1.0))))
+        t_b, nx, ny, nz, cr, cg, cb, mat, idf = carry
+    else:
+        def tri_body(get, gi, carry):
+            t_b, idf = carry
+            ok, t = tri_core(get, t_b)
+            return (jnp.where(ok, t, t_b),
+                    jnp.where(ok, gi, idf))
+
+        t_b, idf = tri_scan(tri_body, (inf, jnp.full(shape, _F(-1.0))))
 
     for i in range(n_sph):
         c = (sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2])
@@ -499,28 +527,29 @@ def _nearest_hit_primary(tri_scan, sph_ref, n_tri, n_sph, cam, d,
         t_b = jnp.where(ok, cand, t_b)
         idf = jnp.where(ok, _F(n_tri + i), idf)
 
-    # --- winner reconstruction: one more pass over the scene through the
-    # same scan strategy (a second DMA stream in the streamed kernel; the
-    # two passes still total ~3x fewer vector ops than the general scan) ---
+    # --- winner reconstruction: hit position from t; attributes either
+    # carried by the merged scan (streamed) or gathered in a second pass
+    # over the SMEM-resident table (small scenes, where the unrolled
+    # gather is cheaper than widening the scan carry) ---
     hit = t_b < _BIG
     t_s = jnp.where(hit, t_b, _F(0.0))
     start = tuple(jnp.broadcast_to(jnp.reshape(c, (1, 1, 1)), shape)
                   for c in cam)
     pos = _add(start, _scale(t_s, d))
-    zero = jnp.zeros(shape)
     pos = _where3(hit, pos, (zero, zero, zero))
 
-    def gather_body(get, gi, carry):
-        nx, ny, nz, cr, cg, cb, mat = carry
-        m = idf == gi
-        return (jnp.where(m, get(9), nx), jnp.where(m, get(10), ny),
-                jnp.where(m, get(11), nz), jnp.where(m, get(12), cr),
-                jnp.where(m, get(13), cg), jnp.where(m, get(14), cb),
-                jnp.where(m, get(15), mat))
+    if not merged:
+        def gather_body(get, gi, carry):
+            nx, ny, nz, cr, cg, cb, mat = carry
+            m = idf == gi
+            return (jnp.where(m, get(9), nx), jnp.where(m, get(10), ny),
+                    jnp.where(m, get(11), nz), jnp.where(m, get(12), cr),
+                    jnp.where(m, get(13), cg), jnp.where(m, get(14), cb),
+                    jnp.where(m, get(15), mat))
 
-    nx, ny, nz, cr, cg, cb, mat = (gather_scan or tri_scan)(
-        gather_body,
-        (zero, zero, zero, zero, zero, zero, jnp.ones(shape)))
+        nx, ny, nz, cr, cg, cb, mat = gather_scan(
+            gather_body,
+            (zero, zero, zero, zero, zero, zero, jnp.ones(shape)))
     nrm = (nx, ny, nz)
     rgb = (cr, cg, cb)
     for i in range(n_sph):
