@@ -409,6 +409,143 @@ def bench_multihost_sim(rows: int = 32, iters: int = 4,
     return out
 
 
+_PROJECTION_WORKER = """
+# Compile (not run) the dp-sharded train step on an 8-virtual-device CPU
+# mesh and dump every collective in the optimized HLO with its payload.
+import json, re, sys
+import os
+flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+jax.config.update("jax_platform_name", "cpu")
+import jax.numpy as jnp
+import uob_raytracer_tpu as rt
+from uob_raytracer_tpu.parallel import make_mesh, image_loss
+
+cfg = rt.RenderConfig(width=256, height=256, aa_x=2, aa_y=2,
+                      shadow_samples=10, bounces=1)
+scene = rt.cornell_box()
+mesh = make_mesh(dp=8, tp=1)
+target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+def loss_grad(s):
+    return jax.value_and_grad(image_loss)(s, target, cfg, mesh, "jnp")
+
+txt = (jax.jit(loss_grad).lower(scene).compile().as_text())
+DTYPE_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+               "pred": 1, "s8": 1, "u8": 1}
+COLL = re.compile(r"\\ball-reduce\\(|\\ball-gather\\(|\\breduce-scatter\\(|"
+                  r"\\bcollective-permute\\(|\\ball-to-all\\(")
+SHAPE = re.compile(r"(\\w+)\\[([0-9,]*)\\]")
+SINGLETON = re.compile(r"replica_groups=\\{(\\{\\d+\\},?)+\\}")
+colls = []
+for line in txt.splitlines():
+    m = COLL.search(line)
+    if m is None or "get-tuple-element" in line or "=" not in line:
+        continue
+    op = m.group(0).rstrip("(").strip()
+    prefix = line.split(m.group(0))[0]
+    total = 0
+    shapes = []
+    for dt, shape in SHAPE.findall(prefix):
+        if dt not in DTYPE_BYTES:
+            continue
+        n = 1
+        for s in shape.split(","):
+            if s:
+                n *= int(s)
+        total += n * DTYPE_BYTES[dt]
+        shapes.append(f"{dt}[{shape}]")
+    degenerate = bool(SINGLETON.search(line))   # per-device groups: no comm
+    colls.append({"op": op, "shapes": shapes, "bytes": total,
+                  "degenerate_groups": degenerate})
+live = [c for c in colls if not c["degenerate_groups"]]
+print(json.dumps({"collectives": colls,
+                  "n_collectives": len(live),
+                  "total_bytes": sum(c["bytes"] for c in live)}))
+"""
+
+
+def bench_multichip_projection(scene, step_ms: float | None = None) -> dict:
+    """Hardware-defensible multi-chip efficiency projection (VERDICT r3
+    task 4): count the ACTUAL collectives XLA inserts into one dp-sharded
+    train step (compiled on an 8-virtual-device mesh — sharding, not
+    backend, determines the collective set), take their payload bytes, and
+    model them against public TPU v5e interconnect figures. The projection
+    replaces the CPU-simulated 64-71% number (which measured gloo/grpc
+    multi-process overhead, not ICI) as the claimable scaling story.
+
+    Model (public figures, Google Cloud TPU docs + the jax-ml scaling
+    book): v5e ICI ~1600 Gbit/s per chip aggregate (~200 GB/s), small
+    all-reduce latency ~5 us per step within a slice; cross-host DCN
+    ~25 GB/s per host with ~50 us latency. Collective time
+    ~= latency + bytes/bandwidth (ring all-reduce moves ~2x bytes)."""
+    import os
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(_PROJECTION_WORKER)
+        script = f.name
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # axon plugin stays unregistered
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        out = subprocess.run([sys.executable, script], env=env,
+                             capture_output=True, text=True, timeout=900)
+        if out.returncode != 0:
+            raise RuntimeError(f"projection worker failed:\n{out.stderr}")
+        hlo = json.loads(out.stdout.splitlines()[-1])
+    finally:
+        os.unlink(script)
+
+    # per-step compute time per chip: the measured single-chip fwd+bwd step
+    # (weak scaling: each chip keeps the full-frame row count of work)
+    if step_ms is None:
+        cfg = rt.RenderConfig(width=512, height=512, aa_x=2, aa_y=2,
+                              shadow_samples=10, bounces=1)
+        quads = _quads_for(scene, "pallas")
+        step_ms = float(time_scalar_fn(
+            _step_scalar(cfg, "pallas", quads), scene, 10)) * 1e3
+
+    payload = hlo["total_bytes"]
+    n_coll = hlo["n_collectives"]
+    # ring all-reduce traffic factor ~2x payload; latency per collective
+    ici = {"bw_GBs": 200.0, "lat_us": 5.0}     # v5e ICI, public figures
+    dcn = {"bw_GBs": 25.0, "lat_us": 50.0}     # per-host DCN
+    def overhead_ms(link):
+        return (n_coll * link["lat_us"] * 1e-3
+                + 2.0 * payload / (link["bw_GBs"] * 1e9) * 1e3)
+    t_ici, t_dcn = overhead_ms(ici), overhead_ms(dcn)
+    eff_8chip = step_ms / (step_ms + t_ici)
+    eff_2host = step_ms / (step_ms + t_dcn)
+    out = {
+        "hlo_collectives": hlo["collectives"][:16],
+        "n_collectives": n_coll,
+        "payload_bytes": payload,
+        "step_ms_per_chip": round(step_ms, 3),
+        "model": {"ici": ici, "dcn": dcn,
+                  "traffic_factor": "2x payload (ring all-reduce)"},
+        "collective_overhead_ms": {"ici_8chip": round(t_ici, 5),
+                                   "dcn_2host": round(t_dcn, 5)},
+        "projected_efficiency": {"v5e_8chip_ici": round(eff_8chip, 4),
+                                 "v5e_2host_dcn": round(eff_2host, 4)},
+        "note": "projection from the compiled HLO collective set + public "
+                "v5e interconnect figures; the CPU 2-process simulation "
+                "(bench --multihost-sim) is a loose lower bound dominated "
+                "by gloo/grpc latency that ICI does in microseconds",
+    }
+    print(f"# multichip projection: {n_coll} collectives/step, "
+          f"{payload} B payload; step {step_ms:.2f} ms/chip -> "
+          f"overhead ici {t_ici*1e3:.1f} us / dcn {t_dcn*1e3:.1f} us -> "
+          f"projected efficiency 8-chip {eff_8chip:.2%}, "
+          f"2-host {eff_2host:.2%}", file=sys.stderr)
+    return out
+
+
 def bench_roofline(scene, iters: int) -> dict:
     """Speed-of-light analysis of the fused kernels on this chip.
 
@@ -523,6 +660,10 @@ def main() -> None:
                         f"(one of: {', '.join(baseline_configs())})")
     p.add_argument("--scaling", action="store_true",
                    help="dp-sharded scaling sweep over available devices")
+    p.add_argument("--multichip-projection", action="store_true",
+                   help="count the compiled HLO collectives of a dp train "
+                        "step and project 8-chip/2-host efficiency against "
+                        "public v5e ICI/DCN figures")
     p.add_argument("--multihost-sim", action="store_true",
                    help="SIMULATED 2-process weak-scaling efficiency on "
                         "virtual CPU devices (spawns subprocesses; "
@@ -561,6 +702,18 @@ def main() -> None:
             "value": u, "unit": "fraction",
             "vs_baseline": u,
             "roofline": res}))
+        return
+
+    if args.multichip_projection:
+        res = bench_multichip_projection(
+            scene, step_ms=None if jax.default_backend() == "tpu" else 3.7)
+        eff = res["projected_efficiency"]["v5e_2host_dcn"]
+        print(json.dumps({
+            "metric": "projected 2-host weak-scaling efficiency "
+                      "(HLO collectives + v5e interconnect model)",
+            "value": eff, "unit": "fraction",
+            "vs_baseline": eff / 0.85,
+            "multichip_projection": res}))
         return
 
     if args.multihost_sim:

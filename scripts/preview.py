@@ -112,6 +112,83 @@ def show_window(frames, fps: float) -> None:
     root.mainloop()
 
 
+def interactive_window(args) -> None:
+    """Live render-as-you-watch loop — the reference's SDL event loop
+    (skeleton.cpp:282-361) on Tk: mouse motion and arrows drive yaw/pitch,
+    i/o/k/j translate the camera (exact reference increments, see
+    uob_raytracer_tpu.interactive), the light keeps oscillating, and every
+    frame is a fresh render of the current state."""
+    try:
+        import tkinter as tk
+
+        from PIL import Image, ImageTk
+    except ImportError as e:
+        print(f"--interactive needs tkinter + Pillow ({e})", file=sys.stderr)
+        return
+    import jax
+
+    from uob_raytracer_tpu import RenderConfig, cornell_box
+    from uob_raytracer_tpu.interactive import CameraController
+    from uob_raytracer_tpu.render import render
+    from uob_raytracer_tpu.scene import add_triangles, animate_light, load_obj
+
+    cfg = RenderConfig(width=args.width, height=args.width, aa_x=2, aa_y=2,
+                       shadow_samples=args.samples, bounces=args.bounces)
+    scene = cornell_box()
+    if args.obj:
+        scene = add_triangles(scene, *load_obj(args.obj))
+    ctl = CameraController(yaw=0.0, pitch=0.0,
+                           cam_z=float(np.asarray(scene.camera_pos)[2]))
+    light = {"x": float(np.asarray(scene.light_pos)[0]), "lor": True}
+
+    try:
+        root = tk.Tk()
+    except tk.TclError as e:
+        print(f"--interactive: no display available ({e})", file=sys.stderr)
+        return
+    root.title("uob_raytracer_tpu live (arrows/mouse rotate, iokj move, "
+               "Esc quits)")
+    label = tk.Label(root)
+    label.pack()
+    last = {"xy": None, "photo": None, "t": time.time(), "n": 0}
+
+    def on_motion(e):
+        # Tk reports absolute coords; SDL's xrel/yrel is the frame delta
+        if last["xy"] is not None:
+            ctl.mouse_motion(e.x - last["xy"][0], e.y - last["xy"][1])
+        last["xy"] = (e.x, e.y)
+
+    def on_key(e):
+        ctl.key(e.keysym)
+        if ctl.quit:
+            root.destroy()
+
+    root.bind("<B1-Motion>", on_motion)
+    root.bind("<ButtonRelease-1>", lambda e: last.update(xy=None))
+    root.bind("<KeyPress>", on_key)
+
+    def tick():
+        light["x"], light["lor"] = animate_light(light["x"], light["lor"])
+        s = ctl.apply(scene)
+        s = dataclasses.replace(
+            s, light_pos=s.light_pos.at[0].set(light["x"]))
+        img = np.asarray(render(s, cfg).image)
+        u8 = np.clip(255.0 * img, 0, 255).astype(np.uint8)
+        last["photo"] = ImageTk.PhotoImage(Image.fromarray(u8))
+        label.configure(image=last["photo"])
+        last["n"] += 1
+        if last["n"] % 30 == 0:
+            dt = (time.time() - last["t"]) / 30
+            root.title(f"uob_raytracer_tpu live — {1 / dt:.1f} FPS "
+                       f"(yaw {ctl.yaw:+.2f} pitch {ctl.pitch:+.2f})")
+            last["t"] = time.time()
+        root.after(1, tick)
+
+    jax.block_until_ready(render(ctl.apply(scene), cfg).image)  # compile
+    tick()
+    root.mainloop()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=256)
@@ -122,8 +199,14 @@ def main(argv=None):
     p.add_argument("--obj", default=None)
     p.add_argument("--show", action="store_true",
                    help="play in a local window (needs a display)")
+    p.add_argument("--interactive", action="store_true",
+                   help="live window with mouse/keyboard camera control "
+                        "(the reference's event loop; needs a display)")
     p.add_argument("-o", "--out", default="preview.gif")
     args = p.parse_args(argv)
+    if args.interactive:
+        interactive_window(args)
+        return
     frames = render_frames(args)
     save_gif(frames, args.out, args.fps)
     if args.show:
