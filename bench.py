@@ -234,6 +234,36 @@ def bench_config(name: str, cfg, scene, iters: int, backend: str) -> dict:
     return out
 
 
+def dense_scene(n_tri: int, seed: int = 1):
+    """Cornell box + random small diffuse triangles inside it — the
+    large-scene workload for the streamed (HBM-resident, DMA-blocked)
+    kernel; same recipe as tests/test_pallas.py::_dense_scene."""
+    import numpy as np
+
+    from uob_raytracer_tpu.scene import add_triangles
+    base = rt.cornell_box()
+    rng = np.random.RandomState(seed)
+    extra = n_tri - int(base.tri_v0.shape[0])
+    c = (rng.uniform(-0.9, 0.9, (extra, 3)).astype(np.float32)
+         * np.float32([1, 1, 0.3]))
+    c[:, 2] -= 0.2
+    verts = np.stack(
+        [c, c + rng.uniform(0.01, 0.05, (extra, 3)).astype(np.float32),
+         c + rng.uniform(0.01, 0.05, (extra, 3)).astype(np.float32)], axis=1)
+    return add_triangles(base, verts, np.full((extra, 3), 0.6, np.float32),
+                         np.ones((extra,), np.float32))
+
+
+# the streamed large-scene benchmark config (VERDICT r3 task 7): 8k
+# brute-force triangles through the DMA-blocked kernel at 128^2 aa4
+STREAMED_BENCH_TRIS = 8192
+
+
+def streamed_bench_cfg():
+    return rt.RenderConfig(width=128, height=128, aa_x=2, aa_y=2,
+                           shadow_samples=3, bounces=2)
+
+
 def bench_scaling(scene, iters: int) -> dict:
     """dp-sharded fwd+bwd over 1..n_devices chips: per-chip scaling
     efficiency eff(N) = T(1) / (N * T(N)) at fixed total work (one frame).
@@ -682,7 +712,11 @@ def main() -> None:
           f"n_devices: {len(jax.devices())}", file=sys.stderr)
 
     if args.config:
-        cfg = baseline_configs()[args.config]
+        if args.config.startswith("streamed"):
+            cfg = streamed_bench_cfg()
+            scene = dense_scene(STREAMED_BENCH_TRIS)
+        else:
+            cfg = baseline_configs()[args.config]
         out = bench_config(args.config, cfg, scene, args.iters, args.backend)
         print(json.dumps({
             "metric": f"rays/s/chip fwd+bwd ({args.config})",
@@ -764,9 +798,13 @@ def main() -> None:
 
     configs = {}
     if not args.headline_only:
-        for name, ccfg in baseline_configs().items():
+        sweep = list(baseline_configs().items())
+        sweep.append((f"streamed_{STREAMED_BENCH_TRIS}", streamed_bench_cfg()))
+        for name, ccfg in sweep:
+            cscene = (dense_scene(STREAMED_BENCH_TRIS)
+                      if name.startswith("streamed_") else scene)
             try:
-                configs[name] = bench_config(name, ccfg, scene,
+                configs[name] = bench_config(name, ccfg, cscene,
                                              max(4, args.iters // 4),
                                              args.backend)
             except Exception as e:  # keep the headline alive no matter what

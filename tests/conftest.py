@@ -23,6 +23,14 @@ import jax  # noqa: E402
 
 if not os.environ.get("RAYTPU_TEST_TPU"):
     jax.config.update("jax_platform_name", "cpu")
+    # The CPU suite is compile-bound (a 128x8 interpret-mode kernel case
+    # spends seconds in XLA:CPU optimization passes and ~20 ms executing),
+    # so trade optimization for compile time. Numerics note: this also
+    # disables FMA contraction, i.e. results get CLOSER to the strict-f32
+    # oracle; golden/byte tests still pass. Opt out with
+    # RAYTPU_TEST_OPTIMIZED=1 to run the suite at full XLA optimization.
+    if not os.environ.get("RAYTPU_TEST_OPTIMIZED"):
+        jax.config.update("jax_disable_most_optimizations", True)
 
 # CI NaN mode (SURVEY.md §4): RAYTPU_DEBUG_NANS=1 makes every jitted
 # computation in the suite raise on the first NaN it produces

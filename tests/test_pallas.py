@@ -144,7 +144,10 @@ def test_streamed_replay_gradient():
     from uob_raytracer_tpu.render import _render_image_jnp
 
     sc = _dense_scene(600)
-    cfg = RenderConfig(width=128, height=8, shadow_samples=2, bounces=2)
+    # aa1: the AA axis is covered by the Cornell cases; at 600 triangles the
+    # jnp-autodiff reference is the cost driver (O(rays x tris))
+    cfg = RenderConfig(width=128, height=8, aa_x=1, aa_y=1,
+                      shadow_samples=2, bounces=2)
     img, _, res = render_fused_res(sc, cfg, interpret=not ON_TPU)
     g_replay = jax.grad(
         lambda s: jnp.mean(replay_forward(s, cfg, res)))(sc)

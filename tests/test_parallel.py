@@ -243,7 +243,7 @@ def test_train_step_reduces_loss(scene):
         scene, light_pos=jnp.array([0.3, -0.5, -0.7]))
     target = render_image_sharded(target_scene, cfg, mesh)
     s, losses = scene, []
-    for _ in range(8):
+    for _ in range(5):
         s, loss = train_step(s, target, cfg, mesh, lr=0.5,
                              trainable=("light_pos",))
         losses.append(float(loss))

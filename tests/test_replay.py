@@ -94,9 +94,9 @@ def test_row_band_rendering_and_replay(scene):
     reconstructs them."""
     import jax.numpy as jnp
     from uob_raytracer_tpu.kernels.render_fwd import render_fused_raw
-    cfg = RenderConfig(width=128, height=32, shadow_samples=4, bounces=3)
+    cfg = RenderConfig(width=128, height=32, shadow_samples=2, bounces=2)
     full, _ = render_fused_raw(scene, cfg, interpret=not ON_TPU)
-    for row0, rows in [(0, 16), (16, 16), (8, 24)]:
+    for row0, rows in [(0, 16), (8, 24)]:   # aligned + tile-offset bands
         band, _ = render_fused_raw(scene, cfg, interpret=not ON_TPU,
                                    row0=jnp.int32(row0), rows=rows)
         np.testing.assert_array_equal(np.asarray(band),

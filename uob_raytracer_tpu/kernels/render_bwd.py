@@ -312,7 +312,13 @@ def _shade_tile(cfg: RenderConfig, cam_in, prim_diffuse, term_valid, lit,
 def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
                 bid_ref, *refs, cfg: RenderConfig, n_tri: int, n_sph: int,
                 streamed: bool = False, fast_scatter: bool = False,
-                ablate: frozenset = frozenset()):
+                unroll: bool = True, ablate: frozenset = frozenset()):
+    # unroll=False (interpret mode): per-object loops run as fori_loops —
+    # same shared body closures, ~26x smaller jaxpr, which cuts the CPU
+    # test suite's compile-dominated wall time (a 128x8 interpret case
+    # spends ~70 s compiling the unrolled graph, ~0.02 s executing it).
+    # Compiled TPU kernels keep the unroll (static SMEM offsets are
+    # measurably faster) — the TPU-mode suite covers that variant.
     # dcam accumulates as a (CAM_COLS, TILE_H, TILE_W) VMEM tile in every
     # variant (the caller does the single final reduction): per-tile
     # camera cotangents are then 21 VECTOR adds instead of 42 cross-lane
@@ -334,12 +340,14 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         # the lane axis; the caller reduces the table once at the end.
         pres_ref, dobj_ref, dcam_ref, img_ref, chain_scr = refs
         dtri_ref = dsph_ref = dlane_ref = None
-        tri_scan = (_unrolled_tri_scan if n_tri <= UNROLL_TRIANGLES
+        tri_scan = (_unrolled_tri_scan
+                    if unroll and n_tri <= UNROLL_TRIANGLES
                     else _smem_tri_scan)(tri_ref, n_tri)
     else:
         dtri_ref, dsph_ref, dcam_ref, img_ref, chain_scr = refs
         dlane_ref = dobj_ref = pres_ref = None
-        tri_scan = (_unrolled_tri_scan if n_tri <= UNROLL_TRIANGLES
+        tri_scan = (_unrolled_tri_scan
+                    if unroll and n_tri <= UNROLL_TRIANGLES
                     else _smem_tri_scan)(tri_ref, n_tri)
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -497,13 +505,23 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
 
         def scatter_site(site, dflat, ids):
             pres = pres_ref[site, 0, 0]
-            for o in range(n_obj):
+
+            def one(o):
                 @pl.when(((pres >> o) & 1) != 0)
-                def _(o=o):
+                def _():
                     mf = (ids == o).astype(_F)
                     for c in range(16):
                         dobj_ref[o, c] = (dobj_ref[o, c]
                                           + jnp.sum(mf * dflat[c], axis=0))
+
+            if unroll:
+                for o in range(n_obj):
+                    one(o)
+            else:
+                def body(o, _):
+                    one(o)
+                    return 0
+                jax.lax.fori_loop(0, n_obj, body, 0)
     else:
         # Sphere cotangents: SMEM accumulates (spheres are always few).
         def scatter_sph(ids, dflat):
@@ -538,7 +556,7 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
                         for c in range(15):  # v0,e1,e2,n,rgb -> cols 0..14
                             dtri_ref[o, c] += jnp.sum(mf * dflat[c])
 
-                if n_tri <= UNROLL_TRIANGLES:
+                if unroll and n_tri <= UNROLL_TRIANGLES:
                     for o in range(n_tri):
                         one(o, ids == o)
                 else:
@@ -626,7 +644,8 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, pres, cfg: RenderConfig,
     fast_scatter = pres is not None
     kernel = functools.partial(_bwd_kernel, cfg=cfg, n_tri=n_tri,
                                n_sph=n_sph, streamed=streamed,
-                               fast_scatter=fast_scatter, ablate=ablate)
+                               fast_scatter=fast_scatter,
+                               unroll=not interpret, ablate=ablate)
     sph_spec = pl.BlockSpec((max(n_sph, 1), SPH_COLS), lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
     # dcam: persistent VMEM tile accumulator (caller reduces once)

@@ -311,7 +311,7 @@ def _streamed_tri_scan(tri_any, buf, sems, n_rows: int):
 
 def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
                cfg: RenderConfig, shd_ref=None, n_quads: int = 0,
-               n_shd: int = 0, shd_scan=None):
+               n_shd: int = 0, shd_scan=None, unroll: bool = True):
     """Unoccluded-sample count for the soft-shadow pass — the hot loop.
 
     Two restructurings over the naive per-sample scan (identical semantics
@@ -398,10 +398,10 @@ def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
     if shd_scan is not None:
         occs = shd_scan(occ_body(9, 12, quad="by_gi"), occs0)
     elif shd_ref is not None:
-        unroll = n_shd <= UNROLL_TRIANGLES
-        occs = _smem_scan_range(shd_ref, 0, n_quads, unroll)(
+        unr = unroll and n_shd <= UNROLL_TRIANGLES
+        occs = _smem_scan_range(shd_ref, 0, n_quads, unr)(
             occ_body(9, 12, quad=True), occs0)
-        occs = _smem_scan_range(shd_ref, n_quads, n_shd, unroll)(
+        occs = _smem_scan_range(shd_ref, n_quads, n_shd, unr)(
             occ_body(9, 12, quad=False), occs)
     else:
         occs = tri_scan(occ_body(16, 15, quad=False), occs0)
@@ -649,7 +649,7 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
                    cfg: RenderConfig, n_tri: int, n_sph: int,
                    n_rows: int, streamed: bool = False,
                    with_residuals: bool = False, n_quads: int = 0,
-                   n_shd: int = 0):
+                   n_shd: int = 0, unroll: bool = True):
     if n_shd:
         shd_ref, *refs = refs
     else:
@@ -718,8 +718,10 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
     # invariants on the scalar unit) through either scan strategy ---
     if streamed:
         gather_scan = None
-    else:   # small scenes: unroll the winner gather (static SMEM offsets)
-        gather_scan = (_unrolled_tri_scan if n_tri <= UNROLL_TRIANGLES
+    else:   # small scenes: unroll the winner gather (static SMEM offsets;
+            # interpret mode keeps the fori form for compile time)
+        gather_scan = (_unrolled_tri_scan
+                       if unroll and n_tri <= UNROLL_TRIANGLES
                        else _smem_tri_scan)(tri_ref, n_tri)
     t_b, pos, normal, rgb, mat, prim_idf = _nearest_hit_primary(
         tri_scan, sph_ref, n_tri, n_sph, cam, d, gather_scan)
@@ -855,7 +857,8 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
                         _f32_to_u32(gf * _F(19.0))))
     lit_count = _lit_count(tri_scan, sph_ref, n_sph, sstart, sdir,
                            state, radius_sq, cfg, shd_ref=shd_ref,
-                           n_quads=n_quads, n_shd=n_shd, shd_scan=shd_scan)
+                           n_quads=n_quads, n_shd=n_shd, shd_scan=shd_scan,
+                           unroll=unroll)
     if with_residuals:
         lit_ref[...] = lit_count
     dl_scale = lit_count * lam_base / _F(cfg.shadow_samples)
@@ -906,7 +909,8 @@ def _call_kernel(tri, sph, cam, off, cfg: RenderConfig, n_tri: int,
                                n_sph=n_sph, n_rows=tri.shape[0],
                                streamed=streamed,
                                with_residuals=with_residuals,
-                               n_quads=n_quads, n_shd=n_shd)
+                               n_quads=n_quads, n_shd=n_shd,
+                               unroll=not interpret)
     out_specs = [
         pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
                      memory_space=pltpu.VMEM),
