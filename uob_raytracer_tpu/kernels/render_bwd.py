@@ -247,8 +247,19 @@ def _bounce_step(cfg: RenderConfig, row_b: _Row, carry):
 # crosses loop boundaries and the per-step scratch.
 
 _CARRY_LEAVES = 23
-# chain scratch rows: carry (23) + cached gathered row (16 diff + mat)
-_SCR_LEAVES = _CARRY_LEAVES + 17
+# Per-step scratch stores only the LINEARIZATION-RELEVANT carry leaves:
+# 0..11 (cur_d, cur_pos, cur_nrm, cur_mat, medium, active_f) plus weight
+# (leaf 22 — `weight * w_step` is bilinear, so w_step's cotangent needs
+# the weight VALUE; the Fresnel equivalence test catches dropping it).
+# The term leaves (term_valid_f, term_pos/nrm/rgb) enter _bounce_step
+# ONLY through value-independent-vjp ops — diffuse-masked selects and the
+# OR flag (zero cotangent) — so the reverse sweep rebuilds the step vjp
+# with ZEROS in those slots and gets identical cotangents while the
+# scratch shrinks 40 -> 30 rows/step. (If a future edit adds a NONLINEAR
+# use of a term leaf, tests/test_bwd_kernel.py fails — save it then.)
+_SAVED_LEAVES = 13
+# chain scratch rows: saved carry leaves + cached gathered row (16 + mat)
+_SCR_LEAVES = _SAVED_LEAVES + 17
 
 
 def _stack_carry(carry):
@@ -458,11 +469,13 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         def fbody(k, carr):
             ids_k = bid_ref[pl.ds(k, 1)][0]
             row = _gather_row(tri_scan, sph_ref, n_tri, n_sph, ids_k)
-            # save carry INTO step k plus the gathered row (16 diff leaves
-            # + mat), so the reverse sweep never rescans the table — for
-            # streamed scenes that is one whole DMA table scan per step
+            # save the linearization-relevant carry prefix INTO step k plus
+            # the gathered row (16 diff leaves + mat), so the reverse sweep
+            # never rescans the table — for streamed scenes that is one
+            # whole DMA table scan per step (see _SAVED_LEAVES)
             chain_scr[pl.ds(k, 1)] = jnp.concatenate(
-                [carr, jnp.stack((*row.diff_inputs(), row.mat))])[None]
+                [carr[:12], carr[22:23],
+                 jnp.stack((*row.diff_inputs(), row.mat))])[None]
             c2 = _bounce_step(cfg, row, _unstack_carry(carr, treedef))
             return _stack_carry(c2)
 
@@ -594,9 +607,12 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
             k = n_live - 1 - i2
             ids_k = bid_ref[pl.ds(k, 1)][0]
             scr = chain_scr[pl.ds(k, 1)][0]
-            carr_k = scr[:_CARRY_LEAVES]
-            row_diffs = tuple(scr[_CARRY_LEAVES + c] for c in range(16))
-            row_mat = scr[_CARRY_LEAVES + 16]
+            # rebuild the full carry with ZEROS in the unsaved term
+            # slots — their vjp is value-independent (see _SAVED_LEAVES)
+            carr_k = jnp.concatenate(
+                [scr[:12], jnp.zeros((10,) + shape, _F), scr[12:13]])
+            row_diffs = tuple(scr[_SAVED_LEAVES + c] for c in range(16))
+            row_mat = scr[_SAVED_LEAVES + 16]
             masks = (row_mat, ids_k >= n_tri, ids_k >= 0)
 
             def step(diffs, carr_in):
