@@ -516,8 +516,12 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         # adds — which the caller reduces across lanes ONCE at the end.
         n_obj = n_tri + n_sph
 
+        ncols = pl.num_programs(1)
+
         def scatter_site(site, dflat, ids):
-            pres = pres_ref[site, 0, 0]
+            # pres_ref holds the whole (sites, n_tiles) table in SMEM
+            # (Mosaic rejects sub-(8,128) blocked specs even for SMEM)
+            pres = pres_ref[site, i * ncols + j]
 
             def one(o):
                 @pl.when(((pres >> o) & 1) != 0)
@@ -730,8 +734,7 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, pres, cfg: RenderConfig,
     ]
     inputs = [tri, sph, cam, off, g, pid, lit, bid]
     if fast_scatter:
-        in_specs.append(pl.BlockSpec((sites, 1, 1), lambda i, j: (0, i, j),
-                                     memory_space=pltpu.SMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(pres)
     outs = pl.pallas_call(
         kernel,
@@ -823,7 +826,7 @@ def render_replay_bwd(scene: Scene, cfg: RenderConfig, res, g,
                          jnp.left_shift(jnp.int32(1), jnp.maximum(r, 0)),
                          jnp.int32(0))   # max: no negative shift amounts
         pres = jax.lax.reduce(bits, jnp.int32(0), jax.lax.bitwise_or,
-                              (1, 3, 5))
+                              (1, 3, 5)).reshape(sites, -1)
     else:
         pres = None
 
