@@ -47,6 +47,12 @@ def _ray_count_stats(scene, cfg):
     dirs, gid = gen_primary_rays(cfg, scene.yaw, scene.pitch)
     A = dirs.shape[2]
     chunk_rows = _pick_chunk_rows(cfg)
+    # large-scene guard: the instrumented jnp pass materializes [rays,
+    # n_tri] intermediates — cap chunks at ~2^27 elements (0.5 GB f32)
+    n_tri = scene.tri_v0.shape[0]
+    while (chunk_rows > 8 and cfg.height % (chunk_rows // 2) == 0
+           and chunk_rows * cfg.width * A * n_tri > 2 ** 27):
+        chunk_rows //= 2
     n_chunks = cfg.height // chunk_rows
     d_flat = dirs.reshape(n_chunks, chunk_rows * cfg.width * A, 3)
 
