@@ -213,13 +213,27 @@ def _rate(rays: int, dt: Timing):
     return None if dt.below_resolution else round(rays / dt)
 
 
+def _adaptive_iters(scalar_fn, scene, lo: int = 8, hi: int = 400,
+                    target_s: float = 0.03) -> int:
+    """Pick a chained-loop trip count so each timing point holds ~30 ms of
+    device work: sub-ms frames at the default 7 iterations left the slope
+    inside the tunnel's burst noise (r4 observed ±100%+ spreads on the
+    aa1 512^2 configs while the >8 ms configs sat at ±7%)."""
+    rough = time_scalar_fn(scalar_fn, scene, lo, n_estimates=2)
+    return max(lo, min(hi, int(target_s / max(float(rough), 2e-5))))
+
+
 def bench_config(name: str, cfg, scene, iters: int, backend: str) -> dict:
     rays = logical_ray_count(scene, cfg)
     quads = None if cfg.cpu_ref else _quads_for(scene, backend)
     assert_finite_grads(cfg, backend, quads, scene)
-    dt_fwd = time_scalar_fn(_fwd_scalar(cfg, backend, quads), scene, iters)
-    dt_step = time_scalar_fn(_step_scalar(cfg, backend, quads), scene,
-                             max(4, iters // 2))
+    fwd_fn = _fwd_scalar(cfg, backend, quads)
+    step_fn = _step_scalar(cfg, backend, quads)
+    dt_fwd = time_scalar_fn(fwd_fn, scene,
+                            _adaptive_iters(fwd_fn, scene, lo=iters))
+    dt_step = time_scalar_fn(step_fn, scene,
+                             _adaptive_iters(step_fn, scene,
+                                             lo=max(4, iters // 2)))
     out = {
         "rays_per_frame": rays,
         "grads_finite": True,

@@ -123,6 +123,26 @@ def test_streamed_large_scene():
                               bounces=2))
 
 
+def test_streamed_mxu_occlusion_with_quads():
+    """The streamed MXU occlusion path (feature-table matmuls) with a quad
+    pairing: the dense scene's Cornell walls pair, so both the quad and
+    triangle accept branches of the blended test run — must match the jnp
+    pipeline like the scan path did."""
+    from uob_raytracer_tpu.ops.quads import detect_shadow_quads
+    from uob_raytracer_tpu.render import _render_image_jnp
+
+    sc = _dense_scene(600)
+    q = detect_shadow_quads(sc)
+    assert q is not None and len(q[0]) > 0     # walls pair
+    cfg = RenderConfig(width=128, height=16, aa_x=1, aa_y=1,
+                       shadow_samples=3, bounces=1)
+    img, _ = render_fused_raw(sc, cfg, interpret=not ON_TPU, quads=q)
+    ref = _render_image_jnp(sc, cfg, chunk_rows=cfg.height)
+    d = np.abs(np.asarray(img) - np.asarray(ref)).max(-1)
+    assert (d > 2e-5).mean() <= 0.002, (
+        f"{(d > 2e-5).mean():.4%} pixels differ (max {d.max():.5f})")
+
+
 def test_streamed_pad_rows_inert():
     # 600 triangles pad to a STREAM_PACK*STREAM_BLK multiple in the packed
     # streamed layout: zero pad items must never win a hit — the packed
