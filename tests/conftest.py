@@ -48,7 +48,7 @@ def cornell():
     return cornell_box()
 
 
-def assert_images_match(img, ref, *, outlier_frac=0.005, outlier_bound=0.35,
+def assert_images_match(img, ref, *, outlier_frac=0.005, outlier_bound=0.45,
                         tight=3e-4, what=""):
     """Boundary-aware image parity.
 
@@ -56,7 +56,12 @@ def assert_images_match(img, ref, *, outlier_frac=0.005, outlier_bound=0.35,
     The extra precision can flip marginal visibility comparisons (nearest-hit
     and shadow tests) on a handful of edge pixels, each off by at most a
     single shadow sample or hit reassignment. So: almost every pixel must
-    match tightly, and the rare boundary pixels must stay bounded.
+    match tightly, and the rare boundary pixels must stay bounded. The
+    bound: one flipped shadow sample contributes up to
+    light_color * lambert / S = 16 * ~0.25 / 10 ≈ 0.4 at the closest
+    shaded points (the real-TPU suite measured a 0.3776 single-flip pixel),
+    so 0.45 accommodates a worst-case single flip without admitting a
+    two-flip or structural error.
     """
     img = np.asarray(img)
     ref = np.asarray(ref)

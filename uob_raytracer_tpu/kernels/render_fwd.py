@@ -393,28 +393,39 @@ def _occ_tris_mxu(mxu, start, dirs, dds, radius_sq):
     R = A * TH
     nblk = wf_ref.shape[0]
     B = wf_ref.shape[2] // 3
-    ones = jnp.ones((TW,), _F)
-    zeros = jnp.zeros((TW,), _F)
+    # Everything stays 2-D (1, TW)/(8, TW): 1-D (TW,) vectors are a known
+    # Mosaic soft spot (interpret-mode-only correctness), as are sub-shaped
+    # i1 broadcasts — the quad flag below is built at full (B, TW) shape.
+    ones = jnp.ones((1, TW), _F)
+    zeros = jnp.zeros((1, TW), _F)
 
-    def row(c, r):                    # (TW,) slice of component c, row r
-        return c[r // TH, r % TH]
+    def row(c, r):                    # (1, TW) slice of component c, row r
+        return c[r // TH, r % TH][None]
 
     bt_rows, rad_rows, bs_rows, dd_rows = [], [], [], []
     for r in range(R):
         srow = tuple(row(start[c], r) for c in range(3))
-        bt_rows.append(jnp.stack([srow[0], srow[1], srow[2], ones,
-                                  zeros, zeros, zeros, zeros]))
+        bt_rows.append(jnp.concatenate(
+            [srow[0], srow[1], srow[2], ones,
+             zeros, zeros, zeros, zeros], axis=0))
         rad_rows.append(row(radius_sq, r))
         per_s, dd_s = [], []
         for s in range(S):
             drow = tuple(row(dirs[s][c], r) for c in range(3))
             p = _cross(drow, srow)
-            per_s.append(jnp.stack([*drow, *p, ones, zeros]))
+            per_s.append(jnp.concatenate([*drow, *p, ones, zeros], axis=0))
             dd_s.append(row(dds[s], r))
         bs_rows.append(per_s)
         dd_rows.append(dd_s)
 
     dn = (((0,), (0,)), ((), ()))     # contract the 8-feature dim
+    # HIGHEST: the MXU's default f32 precision truncates multiplicands to
+    # bf16 (fine for neural nets, ~1e-2 relative here), which flips the
+    # exact-threshold accept tests en masse — the TPU suite caught 60-84%
+    # wrong pixels while interpret mode (true f32) passed. HIGHEST runs
+    # the bf16x-pass f32 emulation; the matmuls are a trivial fraction of
+    # the kernel either way.
+    PREC = jax.lax.Precision.HIGHEST
 
     def copy(k, slot):
         return (pltpu.make_async_copy(wf_ref.at[k], wf_buf.at[slot],
@@ -436,33 +447,36 @@ def _occ_tris_mxu(mxu, start, dirs, dds, radius_sq):
             c.wait()
         wfb = wf_buf[slot]
         wtb = wt_buf[slot]
-        iq = (jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+        iq = (jax.lax.broadcasted_iota(jnp.int32, (B, TW), 0)
               + k * B) < n_quads
         rows_by_s = [[] for _ in range(S)]
         for r in range(R):
             tnum = jax.lax.dot_general(
-                wtb, bt_rows[r], dn, preferred_element_type=jnp.float32)
+                wtb, bt_rows[r], dn, precision=PREC,
+                preferred_element_type=jnp.float32)
             t2 = tnum * tnum
-            rad_r = rad_rows[r][None]
+            rad_r = rad_rows[r]
             for s in range(S):
                 res = jax.lax.dot_general(
-                    wfb, bs_rows[r][s], dn,
+                    wfb, bs_rows[r][s], dn, precision=PREC,
                     preferred_element_type=jnp.float32)
                 dA = res[0:B]
                 u_n = res[B:2 * B]
                 v_n = res[2 * B:3 * B]
                 dA2 = dA * dA
-                dds_r = dd_rows[r][s][None]
+                dds_r = dd_rows[r][s]
                 base = ((tnum * dA >= 0) & (t2 * dds_r < rad_r * dA2)
                         & (u_n * dA >= 0) & (v_n * dA >= 0))
                 inb_q = (u_n * dA <= dA2) & (v_n * dA <= dA2)
                 inb_t = ((u_n + v_n) * dA <= dA2) & (dA != 0)
                 hit = base & ((iq & inb_q) | (~iq & inb_t))
                 rows_by_s[s].append(jnp.max(
-                    jnp.where(hit, _F(1.0), _F(0.0)), axis=0))
+                    jnp.where(hit, _F(1.0), _F(0.0)), axis=0,
+                    keepdims=True))
         return tuple(
             jnp.maximum(occ[s],
-                        jnp.stack(rows_by_s[s]).reshape(A, TH, TW))
+                        jnp.concatenate(rows_by_s[s],
+                                        axis=0).reshape(A, TH, TW))
             for s in range(S))
 
     occ0 = tuple(jnp.zeros((A, TH, TW), _F) for _ in range(S))
