@@ -123,11 +123,10 @@ def test_streamed_large_scene():
                               bounces=2))
 
 
-def test_streamed_mxu_occlusion_with_quads():
-    """The streamed MXU occlusion path (feature-table matmuls) with a quad
-    pairing: the dense scene's Cornell walls pair, so both the quad and
-    triangle accept branches of the blended test run — must match the jnp
-    pipeline like the scan path did."""
+def test_streamed_occlusion_with_quads():
+    """The streamed mixed quad/triangle occlusion scan with a pairing: the
+    dense scene's Cornell walls pair, so both accept branches of the
+    blended per-item test run — must match the jnp pipeline."""
     from uob_raytracer_tpu.ops.quads import detect_shadow_quads
     from uob_raytracer_tpu.render import _render_image_jnp
 

@@ -234,77 +234,6 @@ def pack_shadow(scene: Scene, quads):
     return jnp.concatenate(rows, axis=0).astype(_F)
 
 
-# --------------------------------------------------------------------------
-# MXU occlusion tables: the streamed-scene shadow scan as matmuls
-# --------------------------------------------------------------------------
-# Every dot product of the division-free occlusion accept factors over a
-# fixed 8-feature lane vector X = [dirs(3), dirs x start(3), 1, 0] (per
-# ray, per jittered sample) against per-item feature columns, via the
-# scalar-triple-product identity a.(b x c) = (a x b).c:
-#   dA  = -dirs.E                       -> X . [-E,        0,   0, 0]
-#   u_n = -dirs.cross(start - v0, e2)   -> X . [cross(v0,e2), -e2, 0, 0]
-#   v_n = -dirs.cross(e1, start - v0)   -> X . [cross(e1,v0),  e1, 0, 0]
-# and the sample-independent t-numerator over Xt = [start(3), 1, 0...]:
-#   t_num = (start - v0).E              -> Xt . [E, -(v0.E), 0...]
-# so one [8, 3B] @ [8, 128] dot_general per (ray row, sample, item block)
-# replaces ~18 VPU ops per (ray, item, sample) — the MXU does the FLOPs
-# the brute-force scan burned on the VPU, and only the accept tests stay
-# elementwise. Glass items are zeroed in the prepack (E = 0 rejects them,
-# kernels.cl:247,279 — no material test needed); quad rows keep their
-# parallelogram bounds via the item index (< n_quads), which is free iota
-# arithmetic in the kernel. Precision note: t_num = start.E - (v0.E)
-# rounds at ~1e-7|E| absolute, well under the 1e-4 shadow-bias offset that
-# sets the smallest meaningful |t_num| — same boundary-flip class as FMA
-# contraction, covered by the boundary-tolerant comparisons.
-OCC_MXU_BLK = 512    # items per DMA block (columns of the feature tables)
-
-
-def pack_shadow_mxu(scene: Scene, quads):
-    """Prepack the MXU occlusion feature tables for the streamed kernel.
-
-    Returns (wf [nblk, 8, 3*BLK], wt [nblk, 8, BLK], n_quads, n_items):
-    wf columns [0,B) = dA features, [B,2B) = u_n, [2B,3B) = v_n of the
-    block's items; wt = t_num features. Items are the quad-merged shadow
-    geometry of ``pack_shadow`` when a pairing is given (quads first),
-    else the raw triangles; glass rows are zeroed (auto-reject)."""
-    if quads is not None:
-        tbl = pack_shadow(scene, quads)         # [N, 13]: v0 e1 e2 E mat
-        v0, e1, e2 = tbl[:, 0:3], tbl[:, 3:6], tbl[:, 6:9]
-        E, mat = tbl[:, 9:12], tbl[:, 12]
-        n_quads = len(quads[0])
-    else:
-        v0 = scene.tri_v0
-        e1 = scene.tri_v1 - v0
-        e2 = scene.tri_v2 - v0
-        E = jnp.cross(e1, e2)
-        mat = scene.tri_mat
-        n_quads = 0
-    keep = (mat != _F(-1.0))[:, None].astype(jnp.float32)
-    v0, e1, e2, E = v0 * keep, e1 * keep, e2 * keep, E * keep
-    z1 = jnp.zeros((v0.shape[0], 1), jnp.float32)
-    z2 = jnp.zeros((v0.shape[0], 2), jnp.float32)
-    f_dA = jnp.concatenate([-E, jnp.zeros_like(E), z2], axis=1)
-    f_u = jnp.concatenate([jnp.cross(v0, e2), -e2, z2], axis=1)
-    f_v = jnp.concatenate([jnp.cross(e1, v0), e1, z2], axis=1)
-    f_t = jnp.concatenate(
-        [E, -jnp.sum(v0 * E, axis=1, keepdims=True),
-         jnp.zeros((v0.shape[0], 4), jnp.float32)], axis=1)
-
-    n = v0.shape[0]
-    B = OCC_MXU_BLK
-    n_pad = _round_up(max(n, 1), B)
-    nblk = n_pad // B
-
-    def blocks(f):
-        f = jnp.pad(f, ((0, n_pad - n), (0, 0)))       # zero rows reject
-        return jnp.transpose(f.reshape(nblk, B, 8), (0, 2, 1))
-
-    wf = jnp.concatenate([blocks(f_dA), blocks(f_u), blocks(f_v)],
-                         axis=2)                       # [nblk, 8, 3B]
-    wt = blocks(f_t)                                   # [nblk, 8, B]
-    return wf, wt, n_quads, n
-
-
 # Streamed-kernel layout: STREAM_PACK items are packed side-by-side into
 # each 128-lane HBM row (item k of row r at columns [k*item_cols,
 # (k+1)*item_cols)), so the mandatory 128-column alignment pad (Mosaic
@@ -380,113 +309,9 @@ def _streamed_tri_scan(tri_any, buf, sems, n_rows: int):
     return _streamed_scan(tri_any, buf, sems, n_rows, 19, STREAM_PACK)
 
 
-def _occ_tris_mxu(mxu, start, dirs, dds, radius_sq):
-    """Per-sample triangle/quad occlusion masks via MXU matmuls (see the
-    pack_shadow_mxu block comment for the factorization). Processes the
-    HBM feature tables in double-buffered OCC_MXU_BLK-item blocks; per
-    (ray row, sample, block) one [8, 3B] x [8, 128] dot_general computes
-    every dA/u_n/v_n, and only the accept tests run on the VPU. Returns a
-    list of S (A, TH, TW) f32 0/1 occlusion masks."""
-    (wf_ref, wt_ref, wf_buf, wf_sems, wt_buf, wt_sems, n_quads) = mxu
-    S = len(dirs)
-    A, TH, TW = dirs[0][0].shape
-    R = A * TH
-    nblk = wf_ref.shape[0]
-    B = wf_ref.shape[2] // 3
-    # Everything stays 2-D (1, TW)/(8, TW): 1-D (TW,) vectors are a known
-    # Mosaic soft spot (interpret-mode-only correctness), as are sub-shaped
-    # i1 broadcasts — the quad flag below is built at full (B, TW) shape.
-    ones = jnp.ones((1, TW), _F)
-    zeros = jnp.zeros((1, TW), _F)
-
-    def row(c, r):                    # (1, TW) slice of component c, row r
-        return c[r // TH, r % TH][None]
-
-    bt_rows, rad_rows, bs_rows, dd_rows = [], [], [], []
-    for r in range(R):
-        srow = tuple(row(start[c], r) for c in range(3))
-        bt_rows.append(jnp.concatenate(
-            [srow[0], srow[1], srow[2], ones,
-             zeros, zeros, zeros, zeros], axis=0))
-        rad_rows.append(row(radius_sq, r))
-        per_s, dd_s = [], []
-        for s in range(S):
-            drow = tuple(row(dirs[s][c], r) for c in range(3))
-            p = _cross(drow, srow)
-            per_s.append(jnp.concatenate([*drow, *p, ones, zeros], axis=0))
-            dd_s.append(row(dds[s], r))
-        bs_rows.append(per_s)
-        dd_rows.append(dd_s)
-
-    dn = (((0,), (0,)), ((), ()))     # contract the 8-feature dim
-    # HIGHEST: the MXU's default f32 precision truncates multiplicands to
-    # bf16 (fine for neural nets, ~1e-2 relative here), which flips the
-    # exact-threshold accept tests en masse — the TPU suite caught 60-84%
-    # wrong pixels while interpret mode (true f32) passed. HIGHEST runs
-    # the bf16x-pass f32 emulation; the matmuls are a trivial fraction of
-    # the kernel either way.
-    PREC = jax.lax.Precision.HIGHEST
-
-    def copy(k, slot):
-        return (pltpu.make_async_copy(wf_ref.at[k], wf_buf.at[slot],
-                                      wf_sems.at[slot]),
-                pltpu.make_async_copy(wt_ref.at[k], wt_buf.at[slot],
-                                      wt_sems.at[slot]))
-
-    for c in copy(0, 0):
-        c.start()
-
-    def body(k, occ):
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < nblk)
-        def _():
-            for c in copy(k + 1, jax.lax.rem(k + 1, 2)):
-                c.start()
-        for c in copy(k, slot):
-            c.wait()
-        wfb = wf_buf[slot]
-        wtb = wt_buf[slot]
-        iq = (jax.lax.broadcasted_iota(jnp.int32, (B, TW), 0)
-              + k * B) < n_quads
-        rows_by_s = [[] for _ in range(S)]
-        for r in range(R):
-            tnum = jax.lax.dot_general(
-                wtb, bt_rows[r], dn, precision=PREC,
-                preferred_element_type=jnp.float32)
-            t2 = tnum * tnum
-            rad_r = rad_rows[r]
-            for s in range(S):
-                res = jax.lax.dot_general(
-                    wfb, bs_rows[r][s], dn, precision=PREC,
-                    preferred_element_type=jnp.float32)
-                dA = res[0:B]
-                u_n = res[B:2 * B]
-                v_n = res[2 * B:3 * B]
-                dA2 = dA * dA
-                dds_r = dd_rows[r][s]
-                base = ((tnum * dA >= 0) & (t2 * dds_r < rad_r * dA2)
-                        & (u_n * dA >= 0) & (v_n * dA >= 0))
-                inb_q = (u_n * dA <= dA2) & (v_n * dA <= dA2)
-                inb_t = ((u_n + v_n) * dA <= dA2) & (dA != 0)
-                hit = base & ((iq & inb_q) | (~iq & inb_t))
-                rows_by_s[s].append(jnp.max(
-                    jnp.where(hit, _F(1.0), _F(0.0)), axis=0,
-                    keepdims=True))
-        return tuple(
-            jnp.maximum(occ[s],
-                        jnp.concatenate(rows_by_s[s],
-                                        axis=0).reshape(A, TH, TW))
-            for s in range(S))
-
-    occ0 = tuple(jnp.zeros((A, TH, TW), _F) for _ in range(S))
-    return list(jax.lax.fori_loop(0, nblk, body, occ0))
-
-
 def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
                cfg: RenderConfig, shd_ref=None, n_quads: int = 0,
-               n_shd: int = 0, shd_scan=None, unroll: bool = True,
-               mxu=None):
+               n_shd: int = 0, shd_scan=None, unroll: bool = True):
     """Unoccluded-sample count for the soft-shadow pass — the hot loop.
 
     Two restructurings over the naive per-sample scan (identical semantics
@@ -570,9 +395,7 @@ def _lit_count(tri_scan, sph_ref, n_sph, start, sdir, state, radius_sq,
         return body
 
     occs0 = tuple(jnp.zeros(shape) for _ in range(S))
-    if mxu is not None:
-        occs = _occ_tris_mxu(mxu, start, dirs, dds, radius_sq)
-    elif shd_scan is not None:
+    if shd_scan is not None:
         occs = shd_scan(occ_body(9, 12, quad="by_gi"), occs0)
     elif shd_ref is not None:
         unr = unroll and n_shd <= UNROLL_TRIANGLES
@@ -826,24 +649,15 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
                    cfg: RenderConfig, n_tri: int, n_sph: int,
                    n_rows: int, streamed: bool = False,
                    with_residuals: bool = False, n_quads: int = 0,
-                   n_shd: int = 0, unroll: bool = True,
-                   mxu_occ: bool = False, mxu_nq: int = 0):
+                   n_shd: int = 0, unroll: bool = True):
     if n_shd:
         shd_ref, *refs = refs
     else:
         shd_ref = None
-    if mxu_occ:   # MXU occlusion feature tables (streamed scenes)
-        wf_ref, wt_ref, *refs = refs
     img_ref, packed_ref, *res_refs = refs
     shd_scan = None
-    mxu = None
     if streamed:
-        if mxu_occ:
-            (*res_refs, tri_buf, tri_sems, wf_buf, wf_sems, wt_buf,
-             wt_sems) = res_refs
-            mxu = (wf_ref, wt_ref, wf_buf, wf_sems, wt_buf, wt_sems,
-                   mxu_nq)
-        elif n_shd:
+        if n_shd:
             (*res_refs, tri_buf, tri_sems, shd_buf, shd_sems) = res_refs
             shd_scan = _streamed_scan(shd_ref, shd_buf, shd_sems,
                                       shd_ref.shape[0], SHD_COLS, SHD_PACK)
@@ -1044,7 +858,7 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
     lit_count = _lit_count(tri_scan, sph_ref, n_sph, sstart, sdir,
                            state, radius_sq, cfg, shd_ref=shd_ref,
                            n_quads=n_quads, n_shd=n_shd, shd_scan=shd_scan,
-                           unroll=unroll, mxu=mxu)
+                           unroll=unroll)
     if with_residuals:
         lit_ref[...] = lit_count
     dl_scale = lit_count * lam_base / _F(cfg.shadow_samples)
@@ -1080,29 +894,23 @@ def _render_kernel(tri_ref, sph_ref, cam_ref, off_ref, *refs,
 @functools.partial(jax.jit, static_argnames=("cfg", "n_tri", "n_sph",
                                              "hp", "wp", "rows", "interpret",
                                              "with_residuals", "streamed",
-                                             "n_quads", "mxu_nq"))
+                                             "n_quads"))
 def _call_kernel(tri, sph, cam, off, cfg: RenderConfig, n_tri: int,
                  n_sph: int, hp: int, wp: int, rows: int,
                  interpret: bool = False, with_residuals: bool = False,
-                 streamed: bool = False, shd=None, n_quads: int = 0,
-                 wf=None, wt=None, mxu_nq: int = 0):
+                 streamed: bool = False, shd=None, n_quads: int = 0):
     """Launch over a (hp, wp) padded canvas; the kernel's math uses the
     *logical* cfg dimensions (ray centering, pixel-id RNG seeds), so padded
-    lanes render harmless off-screen content that the caller crops.
-
-    wf/wt: MXU occlusion feature tables (pack_shadow_mxu) — the streamed
-    large-scene shadow path; mutually exclusive with shd."""
+    lanes render harmless off-screen content that the caller crops."""
     grid = (hp // TILE_H, wp // TILE_W)
     A = cfg.aa_rays
     n_shd = 0 if shd is None else shd.shape[0]
-    mxu_occ = wf is not None
     kernel = functools.partial(_render_kernel, cfg=cfg, n_tri=n_tri,
                                n_sph=n_sph, n_rows=tri.shape[0],
                                streamed=streamed,
                                with_residuals=with_residuals,
                                n_quads=n_quads, n_shd=n_shd,
-                               unroll=not interpret,
-                               mxu_occ=mxu_occ, mxu_nq=mxu_nq)
+                               unroll=not interpret)
     out_specs = [
         pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
                      memory_space=pltpu.VMEM),
@@ -1146,20 +954,11 @@ def _call_kernel(tri, sph, cam, off, cfg: RenderConfig, n_tri: int,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM) if streamed
                         else pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(shd)
-    if mxu_occ:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.HBM),
-                     pl.BlockSpec(memory_space=pltpu.HBM)]
-        inputs += [wf, wt]
     scratch = []
     if streamed:
         scratch = [pltpu.SMEM((2, STREAM_BLK, STREAM_COLS), jnp.float32),
                    pltpu.SemaphoreType.DMA((2,))]
-        if mxu_occ:   # double-buffered MXU feature-table blocks (VMEM)
-            scratch += [pltpu.VMEM((2, 8, 3 * OCC_MXU_BLK), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.VMEM((2, 8, OCC_MXU_BLK), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))]
-        elif n_shd:   # second double buffer for the streamed shd table
+        if n_shd:   # second double buffer for the streamed shd table
             scratch += [pltpu.SMEM((2, STREAM_BLK, STREAM_COLS),
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))]
@@ -1209,15 +1008,15 @@ def _pack_quads(scene: Scene, quads, streamed: bool):
 
 
 def _shadow_tables(scene: Scene, cfg: RenderConfig, quads, streamed: bool):
-    """Occlusion-geometry tables for one launch: streamed non-cpu_ref
-    scenes use the MXU feature tables (pack_shadow_mxu); everything else
-    keeps the SMEM quad/tri table path. Returns
-    (shd, n_quads, wf, wt, mxu_nq)."""
-    if streamed and not cfg.cpu_ref:
-        wf, wt, mxu_nq, _ = pack_shadow_mxu(scene, quads)
-        return None, 0, wf, wt, mxu_nq
-    shd, n_quads = _pack_quads(scene, quads, streamed)
-    return shd, n_quads, None, None, 0
+    """Occlusion-geometry tables for one launch (SMEM quad/tri table, or
+    its streamed packing). An MXU matmul formulation of this scan was
+    built and measured in round 4 and REMOVED as a negative result: the
+    8-feature contraction runs the MXU at K=8/128 utilization, and the
+    accept tests' exact thresholds force Precision.HIGHEST (default-
+    precision bf16 multiplicands flipped 60-84%% of pixels on hardware),
+    making it 1.75x SLOWER than this VPU scan (58.9 vs 33.6 ms at 8k
+    triangles) — see BASELINE.md."""
+    return _pack_quads(scene, quads, streamed)
 
 
 def render_fused_raw(scene: Scene, cfg: RenderConfig,
@@ -1245,15 +1044,13 @@ def render_fused_raw(scene: Scene, cfg: RenderConfig,
     tri, sph, cam = pack_scene(scene)
     if streamed:  # STREAM_PACK triangles per lane-tile-aligned HBM row
         tri = pack_streamed(tri, 19, STREAM_PACK)
-    shd, n_quads, wf, wt, mxu_nq = _shadow_tables(scene, cfg, quads,
-                                                  streamed)
+    shd, n_quads = _shadow_tables(scene, cfg, quads, streamed)
     # CPU-ref ignores spheres entirely (the vestigial path predates them)
     n_sph = 0 if cfg.cpu_ref else scene.sph_center.shape[0]
     img, packed = _call_kernel(
         tri, sph, cam, off, cfg, scene.tri_v0.shape[0], n_sph,
         _round_up(rows, TILE_H), _round_up(cfg.width, TILE_W), rows,
-        interpret, streamed=streamed, shd=shd, n_quads=n_quads,
-        wf=wf, wt=wt, mxu_nq=mxu_nq)
+        interpret, streamed=streamed, shd=shd, n_quads=n_quads)
     return jnp.transpose(img, (1, 2, 0)), packed
 
 
@@ -1284,13 +1081,12 @@ def render_fused_res(scene: Scene, cfg: RenderConfig,
     tri, sph, cam = pack_scene(scene)
     if streamed:  # STREAM_PACK triangles per lane-tile-aligned HBM row
         tri = pack_streamed(tri, 19, STREAM_PACK)
-    shd, n_quads, wf, wt, mxu_nq = _shadow_tables(scene, cfg, quads,
-                                                  streamed)
+    shd, n_quads = _shadow_tables(scene, cfg, quads, streamed)
     n_sph = 0 if cfg.cpu_ref else scene.sph_center.shape[0]
     img, packed, pid, lit, bid = _call_kernel(
         tri, sph, cam, off, cfg, scene.tri_v0.shape[0], n_sph,
         _round_up(rows, TILE_H), _round_up(cfg.width, TILE_W), rows,
         interpret, with_residuals=True, streamed=streamed,
-        shd=shd, n_quads=n_quads, wf=wf, wt=wt, mxu_nq=mxu_nq)
+        shd=shd, n_quads=n_quads)
     return (jnp.transpose(img, (1, 2, 0)), packed,
             Residuals(prim_id=pid, lit_cnt=lit, bounce_id=bid))
