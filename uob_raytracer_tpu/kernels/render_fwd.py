@@ -1013,7 +1013,7 @@ def _shadow_tables(scene: Scene, cfg: RenderConfig, quads, streamed: bool):
     built and measured in round 4 and REMOVED as a negative result: the
     8-feature contraction runs the MXU at K=8/128 utilization, and the
     accept tests' exact thresholds force Precision.HIGHEST (default-
-    precision bf16 multiplicands flipped 60-84%% of pixels on hardware),
+    precision bf16 multiplicands flipped 60-84% of pixels on hardware),
     making it 1.75x SLOWER than this VPU scan (58.9 vs 33.6 ms at 8k
     triangles) — see BASELINE.md."""
     return _pack_quads(scene, quads, streamed)
