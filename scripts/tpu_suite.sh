@@ -11,13 +11,19 @@
 # suite on the chip. Single-device: the 8-virtual-device shard_map cases
 # skip themselves; the dp/tp sharding is validated separately by
 # dryrun_multichip and the CPU-mesh suite.
+#
+# Compiles are served from the persistent compilation cache (.jax_cache/,
+# enabled by tests/conftest.py via uob_raytracer_tpu.cache) — the first run
+# populates it; warm reruns skip the remote compile service entirely
+# (r4 cold suite: 27.5 min, dominated by compiles).
 set -uo pipefail
 cd "$(dirname "$0")/.."
-round="${1:-04}"
+round="${1:-05}"
 out="docs/tpu_suite_r${round}.txt"
 {
     echo "# RAYTPU_TEST_TPU=1 suite — real backend, compiled kernels"
     date -u +"# %Y-%m-%dT%H:%M:%SZ"
+    echo "# compile cache: $(ls .jax_cache 2>/dev/null | wc -l) entries at start"
     python - <<'EOF'
 import jax
 print(f"# device: {jax.devices()[0]}, backend: {jax.default_backend()}")

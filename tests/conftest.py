@@ -21,7 +21,13 @@ if not os.environ.get("RAYTPU_TEST_TPU"):
 
 import jax  # noqa: E402
 
-if not os.environ.get("RAYTPU_TEST_TPU"):
+if os.environ.get("RAYTPU_TEST_TPU"):
+    # Warm reruns of the compiled-TPU suite serve every kernel from the
+    # persistent cache instead of the (slow, sometimes wedged) remote
+    # compile service — the r4 suite spent 27.5 min compiling.
+    from uob_raytracer_tpu.cache import enable_compilation_cache
+    enable_compilation_cache()
+else:
     jax.config.update("jax_platform_name", "cpu")
     # The CPU suite is compile-bound (a 128x8 interpret-mode kernel case
     # spends seconds in XLA:CPU optimization passes and ~20 ms executing),

@@ -94,6 +94,9 @@ def test_select_devices_env(monkeypatch, capsys):
     monkeypatch.setenv("RAYTPU_DEVICES", str(n + 5))
     with pytest.raises(ValueError):
         select_devices()
+    monkeypatch.setenv("RAYTPU_DEVICES", "0,0")   # dup: fail at validation,
+    with pytest.raises(ValueError, match="duplicate"):   # not inside Mesh
+        select_devices()
     monkeypatch.delenv("RAYTPU_DEVICES")
     select_devices(verbose=True)
     assert "device 0" in capsys.readouterr().out

@@ -60,16 +60,18 @@ def test_replay_grads_match_full_autodiff(scene, rendered):
 
     g_r = jax.grad(loss_replay)(scene)
     g_f = jax.grad(loss_full)(scene)
-    # 1e-2: the two pipelines are separately compiled programs — on the
+    # TPU 1e-2: the two pipelines are separately compiled programs — on the
     # real chip their different FMA/fusion choices shift the
     # ill-conditioned sphere-quadratic gradients at the sub-percent level
-    # (TPU-suite runs measured sph_center 2.5e-3, sph_r2 6.3e-3 relative);
-    # everything else agrees orders of magnitude tighter
+    # (TPU-suite runs measured sph_center 2.5e-3, sph_r2 6.3e-3 relative).
+    # On CPU the drift justification doesn't apply and the pipelines agree
+    # much tighter, so keep the stricter 2e-3 oracle there.
+    tol = 1e-2 if ON_TPU else 2e-3
     for f in dataclasses.fields(g_r):
         a = np.asarray(getattr(g_r, f.name))
         b = np.asarray(getattr(g_f, f.name))
         scale = np.abs(b).max() + 1e-12
-        assert np.abs(a - b).max() / scale < 1e-2, f.name
+        assert np.abs(a - b).max() / scale < tol, f.name
         assert np.isfinite(a).all(), f.name
 
 
