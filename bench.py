@@ -307,6 +307,52 @@ def streamed_bench_cfg():
                            shadow_samples=3, bounces=2)
 
 
+def bench_crossover(iters: int = 8) -> dict:
+    """SMEM-vs-streamed forward crossover curve (VERDICT r4 task 6):
+    render dense scenes of growing triangle count through BOTH kernels —
+    the whole-table-in-SMEM kernel and the HBM-streamed DMA-blocked one —
+    wherever each compiles, so MAX_SMEM_TRIANGLES is set from data instead
+    of a single anecdote. Kernel choice is pinned per measurement via
+    RAYTPU_FORCE_KERNEL (read at trace time in render_fwd._use_streamed)."""
+    import os
+
+    cfg = streamed_bench_cfg()
+    sizes = [26, 128, 256, 512, 768, 1024, 1536, 2048, 4096, 8192]
+    points = []
+    for n in sizes:
+        scene = rt.cornell_box() if n == 26 else dense_scene(n)
+        quads = _quads_for(scene, "pallas")
+        rays = logical_ray_count(scene, cfg)
+        row = {"n_tri": int(scene.tri_v0.shape[0]), "rays": rays}
+        for mode in ("smem", "streamed"):
+            os.environ["RAYTPU_FORCE_KERNEL"] = mode
+            try:
+                fn = _fwd_scalar(cfg, "pallas", quads)
+                dt = time_scalar_fn(fn, scene,
+                                    _adaptive_iters(fn, scene, lo=iters))
+                row[mode] = dt.ms_dict()
+                row[mode]["rays_s"] = _rate(rays, dt)
+            except Exception as e:   # SMEM capacity: record, keep sweeping
+                row[mode] = {"failed": f"{type(e).__name__}"}
+                print(f"# crossover {n} {mode}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:160]}", file=sys.stderr)
+            finally:
+                os.environ.pop("RAYTPU_FORCE_KERNEL", None)
+        points.append(row)
+
+        def _fmt(v):
+            return (f"{v['p50']} ms" if "p50" in v
+                    else v.get("failed", "?"))
+        print(f"# crossover {row['n_tri']:5d} tris: "
+              f"smem {_fmt(row['smem'])} | streamed {_fmt(row['streamed'])}",
+              file=sys.stderr)
+    return {"config": f"{cfg.width}x{cfg.height} aa{cfg.aa_rays} "
+                      f"s{cfg.shadow_samples} b{cfg.bounces}",
+            "method": "forward, median-of-slope timing; kernel pinned via "
+                      "RAYTPU_FORCE_KERNEL; quad-merged occlusion in both",
+            "points": points}
+
+
 def bench_scaling(scene, iters: int) -> dict:
     """dp-sharded fwd+bwd over 1..n_devices chips: per-chip scaling
     efficiency eff(N) = T(1) / (N * T(N)) at fixed total work (one frame).
@@ -483,8 +529,9 @@ def bench_multihost_sim(rows: int = 32, iters: int = 4,
 
 
 _PROJECTION_WORKER = """
-# Compile (not run) the dp-sharded train step on an 8-virtual-device CPU
-# mesh and dump every collective in the optimized HLO with its payload.
+# Compile (not run) a sharded train step on a virtual-device CPU mesh and
+# dump every collective in the optimized HLO with its payload.
+# argv: dp tp   (dp*tp <= 8 virtual devices)
 import json, re, sys
 import os
 flags = os.environ.get("XLA_FLAGS", "")
@@ -496,10 +543,20 @@ import jax.numpy as jnp
 import uob_raytracer_tpu as rt
 from uob_raytracer_tpu.parallel import make_mesh, image_loss
 
-cfg = rt.RenderConfig(width=256, height=256, aa_x=2, aa_y=2,
-                      shadow_samples=10, bounces=1)
-scene = rt.cornell_box()
-mesh = make_mesh(dp=8, tp=1)
+dp, tp = int(sys.argv[1]), int(sys.argv[2])
+if tp > 1:
+    # tp: triangle-sharded large-scene step at the streamed bench workload's
+    # RAY count (the per-ray pmin/tie/psum combine payload scales with rays,
+    # not triangles — a small padded table compiles the same collectives)
+    from bench import dense_scene, streamed_bench_cfg
+    from uob_raytracer_tpu.parallel.mesh import pad_triangles
+    cfg = streamed_bench_cfg()
+    scene = pad_triangles(dense_scene(128), tp)
+else:
+    cfg = rt.RenderConfig(width=256, height=256, aa_x=2, aa_y=2,
+                          shadow_samples=10, bounces=1)
+    scene = rt.cornell_box()
+mesh = make_mesh(dp=dp, tp=tp)
 target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
 def loss_grad(s):
@@ -540,6 +597,132 @@ print(json.dumps({"collectives": colls,
 """
 
 
+def _hlo_collectives(dp: int, tp: int, timeout: int = 900) -> dict:
+    """Compile the (dp, tp)-sharded train step on the virtual CPU mesh in a
+    subprocess and return its live-collective census from the optimized
+    HLO (see _PROJECTION_WORKER)."""
+    import os
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(_PROJECTION_WORKER)
+        script = f.name
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # axon plugin stays unregistered
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        out = subprocess.run([sys.executable, script, str(dp), str(tp)],
+                             env=env, capture_output=True, text=True,
+                             timeout=timeout)
+        if out.returncode != 0:
+            raise RuntimeError(f"projection worker failed:\n{out.stderr}")
+        return json.loads(out.stdout.splitlines()[-1])
+    finally:
+        os.unlink(script)
+
+
+def bench_tp(iters: int = 8) -> dict:
+    """TP production-path benchmark (VERDICT r4 task 4).
+
+    (a) Measured single-chip throughput of the streamed partial-kernel
+    pipeline (``kernels/partial.py`` via ``ops.intersect`` with
+    tri_pass='pallas'; tp=1 so no collectives execute) against the fused
+    streamed kernel, fwd and fwd+bwd, at the 8k-triangle bench workload.
+    (b) The tp train step's compiled collective payload at tp=2/4 (virtual
+    mesh — sharding determines the collective set) + projected efficiency
+    against v5e ICI figures, with per-chip compute scaled by the shard's
+    triangle count. The per-ray combine payload is identical for the jnp
+    and partial-kernel triangle passes (tri_axis drives the collectives),
+    so the CPU-compiled census stands in for the TPU program's."""
+    import numpy as np
+
+    from uob_raytracer_tpu.ops.camera import gen_primary_rays
+    from uob_raytracer_tpu.ops.intersect import prepare_scene
+    from uob_raytracer_tpu.ops.shading import shade
+
+    cfg = streamed_bench_cfg()
+    scene = dense_scene(STREAMED_BENCH_TRIS)
+    rays = logical_ray_count(scene, cfg)
+    A = cfg.aa_rays
+
+    def partial_img(s):
+        ds = prepare_scene(s)
+        dirs, gid = gen_primary_rays(cfg, s.yaw, s.pitch)
+        d_flat = dirs.reshape(-1, 3)
+        gid_flat = jnp.repeat(gid.reshape(-1), A)
+        start = jnp.broadcast_to(ds.camera_pos, (d_flat.shape[0], 3))
+        colors = shade(ds, cfg, start, d_flat, gid_flat, None, "pallas")
+        return colors.reshape(cfg.height, cfg.width, A, 3).sum(axis=2) / A
+
+    def fwd_p(s):
+        return jnp.mean(partial_img(s))
+
+    def step_p(s):
+        v, g2 = jax.value_and_grad(fwd_p)(s)
+        return v + sum(jnp.sum(x) * 1e-12
+                       for x in jax.tree_util.tree_leaves(g2))
+
+    gp = jax.grad(fwd_p)(scene)
+    bad = [n for n, leaf in vars(gp).items()
+           if not bool(np.isfinite(np.asarray(leaf)).all())]
+    assert not bad, f"non-finite tp-pipeline gradient leaves {bad}"
+
+    quads = _quads_for(scene, "pallas")
+    rows = {}
+    for name, fn in [("partial_fwd", fwd_p), ("partial_fwd_bwd", step_p),
+                     ("fused_fwd", _fwd_scalar(cfg, "pallas", quads)),
+                     ("fused_fwd_bwd", _step_scalar(cfg, "pallas", quads))]:
+        dt = time_scalar_fn(fn, scene, _adaptive_iters(fn, scene, lo=iters))
+        rows[name] = dt.ms_dict()
+        rows[name]["rays_s"] = _rate(rays, dt)
+        print(f"# tp-bench {name}: {dt*1e3:.2f} ms ±{dt.spread:.0%}",
+              file=sys.stderr)
+
+    # (b) collective payload + efficiency projection at tp=2/4
+    ici = {"bw_GBs": 200.0, "lat_us": 5.0}
+    step1_ms = rows["partial_fwd_bwd"]["p50"]
+    n_tri = STREAMED_BENCH_TRIS
+    proj = {}
+    for tp in (2, 4):
+        hlo = _hlo_collectives(dp=1, tp=tp)
+        payload = hlo["total_bytes"]
+        n_coll = hlo["n_collectives"]
+        t_comm_ms = (n_coll * ici["lat_us"] * 1e-3
+                     + 2.0 * payload / (ici["bw_GBs"] * 1e9) * 1e3)
+        # per-chip compute scales with the shard's triangle count; the
+        # per-ray (scan-independent) part is taken from the fused kernel's
+        # Cornell-scale time as a floor
+        t_comp_ms = step1_ms * (26 + n_tri / tp) / (26 + n_tri)
+        eff = (step1_ms / tp) / (t_comp_ms + t_comm_ms)
+        proj[f"tp{tp}"] = {
+            "n_collectives": n_coll, "payload_bytes": payload,
+            "comm_ms": round(t_comm_ms, 4),
+            "compute_ms_per_chip": round(t_comp_ms, 3),
+            "strong_scaling_efficiency": round(eff, 4)}
+        print(f"# tp-bench projection tp={tp}: {n_coll} collectives, "
+              f"{payload} B -> comm {t_comm_ms:.3f} ms, compute "
+              f"{t_comp_ms:.2f} ms -> efficiency {eff:.1%}",
+              file=sys.stderr)
+    return {
+        "workload": f"{STREAMED_BENCH_TRIS} tris, {cfg.width}x{cfg.height} "
+                    f"aa{cfg.aa_rays} s{cfg.shadow_samples} b{cfg.bounces}",
+        "rays_per_frame": rays,
+        "grads_finite": True,
+        "measured_tp1": rows,
+        "ici_model": ici,
+        "projection": proj,
+        "note": "tp combine traffic scales with rays (pmin/tie/psum per "
+                "intersect+occlusion call), dp's with parameters (1.4 kB); "
+                "at equal chip counts dp wins whenever the replicated "
+                "table fits per-chip HBM — tp is the capacity escape hatch "
+                "(a 19-col f32 table reaches 1 GB around 14 M triangles), "
+                "not a throughput play.",
+    }
+
+
 def bench_multichip_projection(scene, step_ms: float | None = None) -> dict:
     """Hardware-defensible multi-chip efficiency projection (VERDICT r3
     task 4): count the ACTUAL collectives XLA inserts into one dp-sharded
@@ -554,26 +737,7 @@ def bench_multichip_projection(scene, step_ms: float | None = None) -> dict:
     all-reduce latency ~5 us per step within a slice; cross-host DCN
     ~25 GB/s per host with ~50 us latency. Collective time
     ~= latency + bytes/bandwidth (ring all-reduce moves ~2x bytes)."""
-    import os
-    import subprocess
-    import tempfile
-
-    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
-        f.write(_PROJECTION_WORKER)
-        script = f.name
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)   # axon plugin stays unregistered
-    env["JAX_PLATFORMS"] = "cpu"
-    repo = os.path.dirname(os.path.abspath(__file__))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    try:
-        out = subprocess.run([sys.executable, script], env=env,
-                             capture_output=True, text=True, timeout=900)
-        if out.returncode != 0:
-            raise RuntimeError(f"projection worker failed:\n{out.stderr}")
-        hlo = json.loads(out.stdout.splitlines()[-1])
-    finally:
-        os.unlink(script)
+    hlo = _hlo_collectives(dp=8, tp=1)
 
     # per-step compute time per chip: the measured single-chip fwd+bwd step
     # (weak scaling: each chip keeps the full-frame row count of work)
@@ -706,10 +870,10 @@ def bench_roofline(scene, iters: int) -> dict:
     util = cen_f_total / dt / peaks["mix"]
     butil = cen_b_total / dt_bwd / peaks["mix"]
 
-    def ceiling_at(p: float) -> float:
-        """Interpolate the measured mix-chain rate at DAG width p
+    def ceiling_at(curve: dict, p: float) -> float:
+        """Interpolate a measured chain-rate curve at DAG width p
         (log-linear in P between measured K points; clamped at the ends)."""
-        pts = sorted((v["P"], v["rate"]) for v in peaks["mix_k"].values())
+        pts = sorted((v["P"], v["rate"]) for v in curve.values())
         if p <= pts[0][0]:
             return pts[0][1]
         for (p0, r0), (p1, r1) in zip(pts, pts[1:]):
@@ -718,7 +882,11 @@ def bench_roofline(scene, iters: int) -> dict:
                 return float(r0 * (r1 / r0) ** f)
         return pts[-1][1]
 
-    ceil_f, ceil_b = ceiling_at(p_fwd), ceiling_at(p_bwd)
+    # fwd ceiling: forward-blend mix chain at the fwd kernel's own P;
+    # bwd ceiling: BACKWARD-blend chain (41% select + div/sqrt slots,
+    # measured the same way) at the bwd kernel's P
+    ceil_f = ceiling_at(peaks["mix_k"], p_fwd)
+    ceil_b = ceiling_at(peaks["bwdmix_k"], p_bwd)
     cutil_f = cen_f_total / dt / ceil_f
     cutil_b = cen_b_total / dt_bwd / ceil_b
     out = {
@@ -742,6 +910,9 @@ def bench_roofline(scene, iters: int) -> dict:
         "mix_chain_vs_parallelism": {
             str(k): {"P": v["P"], "rate": round(v["rate"])}
             for k, v in peaks["mix_k"].items()},
+        "bwdmix_chain_vs_parallelism": {
+            str(k): {"P": v["P"], "rate": round(v["rate"])}
+            for k, v in peaks["bwdmix_k"].items()},
         "critical_path": {
             "method": "jaxpr DAG depth per grid step (census rules: "
                       "elemwise +1, reductions +log2N, loops serial "
@@ -753,6 +924,10 @@ def bench_roofline(scene, iters: int) -> dict:
         "vpu_utilization_vs_mix_chain": {"fwd": round(util, 4),
                                          "bwd": round(butil, 4)},
         "vpu_utilization_vs_chain_matched": {
+            "method": "achieved census-ops/s vs a calibration chain with "
+                      "the kernel's own op BLEND (fwd: mix; bwd: bwdmix — "
+                      "41% select + div/sqrt slots) interpolated at the "
+                      "kernel's own DAG width P",
             "fwd": round(cutil_f, 4), "bwd": round(cutil_b, 4),
             "ceiling_ops_s": {"fwd": round(ceil_f), "bwd": round(ceil_b)}},
     }
@@ -789,10 +964,18 @@ def main() -> None:
                         f"(one of: {', '.join(baseline_configs())})")
     p.add_argument("--scaling", action="store_true",
                    help="dp-sharded scaling sweep over available devices")
+    p.add_argument("--crossover", action="store_true",
+                   help="SMEM vs streamed forward kernel crossover curve "
+                        "over triangle count (writes the measured basis of "
+                        "MAX_SMEM_TRIANGLES)")
     p.add_argument("--multichip-projection", action="store_true",
                    help="count the compiled HLO collectives of a dp train "
                         "step and project 8-chip/2-host efficiency against "
                         "public v5e ICI/DCN figures")
+    p.add_argument("--tp-bench", action="store_true",
+                   help="measure the streamed partial-kernel (tp) pipeline "
+                        "vs the fused kernel at 8k triangles and project "
+                        "tp=2/4 scaling from the compiled collective set")
     p.add_argument("--multihost-sim", action="store_true",
                    help="SIMULATED 2-process weak-scaling efficiency on "
                         "virtual CPU devices (spawns subprocesses; "
@@ -840,6 +1023,21 @@ def main() -> None:
             "roofline": res}))
         return
 
+    if args.crossover:
+        res = bench_crossover(max(4, args.iters // 4))
+        ok = [p for p in res["points"]
+              if "p50" in p.get("smem", {}) and "p50" in p["streamed"]]
+        # headline: worst smem/streamed ratio among sizes where both run
+        # (>=1 means smem never loses below its capacity limit)
+        adv = min((p["streamed"]["p50"] / p["smem"]["p50"] for p in ok),
+                  default=0.0)
+        print(json.dumps({
+            "metric": "min streamed/smem fwd-time ratio below SMEM capacity "
+                      "(>1 = SMEM kernel faster wherever it fits)",
+            "value": round(adv, 3), "unit": "ratio", "vs_baseline": adv,
+            "crossover": res}))
+        return
+
     if args.multichip_projection:
         res = bench_multichip_projection(
             scene, step_ms=None if jax.default_backend() == "tpu" else 3.7)
@@ -850,6 +1048,17 @@ def main() -> None:
             "value": eff, "unit": "fraction",
             "vs_baseline": eff / 0.85,
             "multichip_projection": res}))
+        return
+
+    if args.tp_bench:
+        res = bench_tp(max(4, args.iters // 4))
+        r = res["measured_tp1"]["partial_fwd_bwd"].get("rays_s") or 0
+        print(json.dumps({
+            "metric": "rays/s/chip fwd+bwd (streamed partial tp pipeline, "
+                      "8192 tris)",
+            "value": r, "unit": "rays/s",
+            "vs_baseline": r / TARGET_RAYS_PER_S,
+            "tp_bench": res}))
         return
 
     if args.multihost_sim:

@@ -189,6 +189,86 @@ def interactive_window(args) -> None:
     root.mainloop()
 
 
+def latency_bench(args) -> dict:
+    """Measured interactive-loop latency (VERDICT r4 task 5): drive the
+    CameraController headlessly through the exact per-frame path of
+    ``interactive_window`` — key event -> controller update -> light
+    animation -> render -> host fetch of the frame — and time each
+    keypress-to-updated-frame round trip on the real backend.
+
+    This is the reference's live loop (``skeleton.cpp:117-138``: update()
+    then offload_rendering() then SDL_Renderframe per frame) minus the
+    window present itself; the host fetch plays the SDL present's role
+    exactly as the reference's blocking readback does. On the axon tunnel
+    the fetch carries a fixed ~28 ms wire latency that a locally-attached
+    chip would not pay, so the harness also measures that floor (fetch of a
+    1-element array) and reports it alongside."""
+    import time as _time
+
+    import jax
+
+    from uob_raytracer_tpu import RenderConfig, cornell_box
+    from uob_raytracer_tpu.cache import enable_compilation_cache
+    from uob_raytracer_tpu.interactive import CameraController
+    from uob_raytracer_tpu.render import render
+    from uob_raytracer_tpu.scene import animate_light
+
+    enable_compilation_cache()
+    cfg = RenderConfig(width=args.width, height=args.width, aa_x=2, aa_y=2,
+                       shadow_samples=args.samples, bounces=args.bounces)
+    scene = cornell_box()
+    ctl = CameraController(cam_z=float(np.asarray(scene.camera_pos)[2]))
+    light = {"x": float(np.asarray(scene.light_pos)[0]), "lor": True}
+
+    def frame():
+        """One tick of the interactive loop (same steps as tick() above)."""
+        light["x"], light["lor"] = animate_light(light["x"], light["lor"])
+        s = ctl.apply(scene)
+        s = dataclasses.replace(
+            s, light_pos=s.light_pos.at[0].set(light["x"]))
+        return np.asarray(render(s, cfg).image)   # fetch = the present
+
+    frame()   # compile + warm
+    # the tunnel's fixed fetch floor, for context in the report
+    one = jax.jit(lambda x: x + 1.0)(np.float32(0.0))
+    float(one)
+    t0 = _time.perf_counter()
+    for _ in range(5):
+        float(jax.jit(lambda x: x + 1.0)(np.float32(1.0)))
+    fetch_floor_ms = (_time.perf_counter() - t0) / 5 * 1e3
+
+    keys = ["Left", "Right", "Up", "Down", "i", "o", "k", "j"] * 4
+    lats = []
+    for name in keys:
+        t0 = _time.perf_counter()
+        ctl.key(name)                 # the keypress
+        img = frame()                 # re-render + fetch
+        lats.append(_time.perf_counter() - t0)
+    lats_ms = sorted(x * 1e3 for x in lats)
+    n = len(lats_ms)
+    out = {
+        "width": cfg.width, "config": f"aa{cfg.aa_rays} "
+        f"s{cfg.shadow_samples} b{cfg.bounces}",
+        "n_events": n,
+        "keypress_to_frame_ms": {
+            "p50": round(lats_ms[n // 2], 2),
+            "p95": round(lats_ms[int(n * 0.95)], 2),
+            "min": round(lats_ms[0], 2)},
+        "fps_at_p50": round(1e3 / lats_ms[n // 2], 1),
+        "tunnel_fetch_floor_ms": round(fetch_floor_ms, 2),
+        "note": "end-to-end keypress->updated-frame-on-host through the "
+                "axon tunnel; a locally attached chip skips the fixed "
+                "fetch floor",
+    }
+    print(f"latency {cfg.width}^2: p50 "
+          f"{out['keypress_to_frame_ms']['p50']} ms "
+          f"(p95 {out['keypress_to_frame_ms']['p95']}, "
+          f"{out['fps_at_p50']} FPS) — tunnel fetch floor "
+          f"{out['tunnel_fetch_floor_ms']} ms; image checksum "
+          f"{float(img.sum()):.3f}")
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=256)
@@ -202,8 +282,15 @@ def main(argv=None):
     p.add_argument("--interactive", action="store_true",
                    help="live window with mouse/keyboard camera control "
                         "(the reference's event loop; needs a display)")
+    p.add_argument("--latency-bench", action="store_true",
+                   help="headless keypress->frame latency measurement of "
+                        "the interactive loop on the real backend")
     p.add_argument("-o", "--out", default="preview.gif")
     args = p.parse_args(argv)
+    if args.latency_bench:
+        import json
+        print(json.dumps(latency_bench(args)))
+        return
     if args.interactive:
         interactive_window(args)
         return

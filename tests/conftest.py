@@ -18,6 +18,10 @@ if not os.environ.get("RAYTPU_TEST_TPU"):
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    if not os.environ.get("RAYTPU_TEST_NO_CACHE"):
+        # silence the AOT cache loader's per-load feature-mismatch spam
+        # (see the cache block below); must land before backend init
+        os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
@@ -37,6 +41,22 @@ else:
     # RAYTPU_TEST_OPTIMIZED=1 to run the suite at full XLA optimization.
     if not os.environ.get("RAYTPU_TEST_OPTIMIZED"):
         jax.config.update("jax_disable_most_optimizations", True)
+    # Persistent compilation cache for the compile-bound CPU suite: warm
+    # reruns skip XLA:CPU entirely. The AOT loader logs a benign
+    # machine-feature line per load (prefer-no-scatter/gather pseudo-
+    # features differ between its compile-time and load-time detection on
+    # the SAME host); a real mismatch would crash loudly, so the log spam
+    # is suppressed via TF_CPP_MIN_LOG_LEVEL set before backend init
+    # (opt out of caching with RAYTPU_TEST_NO_CACHE=1).
+    if not os.environ.get("RAYTPU_TEST_NO_CACHE"):
+        cache_dir = os.environ.get(
+            "RAYTPU_TEST_CPU_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache", "cpu"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 # CI NaN mode (SURVEY.md §4): RAYTPU_DEBUG_NANS=1 makes every jitted
 # computation in the suite raise on the first NaN it produces

@@ -448,6 +448,42 @@ def measure_vpu_peak(iters: int = 20, ks=()) -> dict:
                     return tuple(a * x + np.float32(1e-7) for a in accs)
                 if mode == "add":
                     return tuple(a + x for a in accs)
+                if mode == "bwdmix":
+                    # 17 jaxpr ops per element, blended to the BACKWARD
+                    # census (~41% select, 24% mul, 18% add, 6% cmp, 4%
+                    # neg, ~2% div/sqrt): 7 sel + 4 mul + 3 add + 1 cmp +
+                    # 1 neg + 1 {sub|div|sqrt} — the slow-op slot is div on
+                    # 5 of K accumulators and sqrt on 1, matching the
+                    # census fractions at K=16 (5/272 = 1.8%, 1/272 = .4%)
+                    out = []
+                    h = np.float32(0.5)
+                    for ki, a in enumerate(accs):
+                        t1 = a * x                    # mul
+                        m1 = t1 < x                   # cmp
+                        w1 = jnp.where(m1, t1, a)     # select
+                        t2 = w1 * h                   # mul
+                        s1 = t2 + x                   # add
+                        w2 = jnp.where(m1, s1, t2)    # select
+                        n1 = -w2                      # neg
+                        w3 = jnp.where(m1, n1, s1)    # select
+                        s2 = w3 + t1                  # add
+                        w4 = jnp.where(m1, s2, w3)    # select
+                        t3 = w4 * x                   # mul
+                        w5 = jnp.where(m1, t3, w4)    # select
+                        s3 = w5 + t2                  # add
+                        w6 = jnp.where(m1, s3, w5)    # select
+                        t4 = w6 * h                   # mul
+                        if ki % 16 in (0, 3, 6, 9, 12):
+                            sl = s3 / (t4 + np.float32(1.125))   # div
+                        elif ki % 16 == 15:
+                            # abs+sqrt = 2 ops — this acc runs 18, so the
+                            # 17-based rate() divisor understates the
+                            # ceiling by <=0.4% at K=16 (noise-level)
+                            sl = jnp.sqrt(jnp.abs(t4))
+                        else:
+                            sl = s3 - t4              # sub
+                        out.append(jnp.where(m1, sl, a))   # select (17)
+                    return tuple(out)
                 # mix: MIX_OPS_PER_ITER (17) jaxpr ops per element, blended
                 # to the render kernel's census profile:
                 # 6 mul, 3 cmp, 2 add, 2 select, 1 sub, 1 neg, 1 and, 1 max
@@ -520,11 +556,11 @@ def measure_vpu_peak(iters: int = 20, ks=()) -> dict:
         per_iter = MIX_OPS_PER_ITER if mode == "mix" else 1
         return H * W * INNER * K * per_iter / dt
 
-    def chain_profile(K: int) -> dict:
-        """Census (T, D, P) of the mix chain at K accumulators — computed
-        by the SAME machinery applied to the render kernels, so P values
-        are directly comparable."""
-        run = runner("mix", K)
+    def chain_profile(mode: str, K: int) -> dict:
+        """Census (T, D, P) of a calibration chain at K accumulators —
+        computed by the SAME machinery applied to the render kernels, so P
+        values are directly comparable."""
+        run = runner(mode, K)
         x = jnp.zeros((H, W), jnp.float32)
         jx = jax.make_jaxpr(run)(x)
         kj = _find_pallas_jaxpr(jx.jaxpr)
@@ -537,13 +573,17 @@ def measure_vpu_peak(iters: int = 20, ks=()) -> dict:
         return {"instrs": t_elem / VREG_ELEMS, "depth": depth,
                 "P": t_elem / VREG_ELEMS / max(depth, 1.0)}
 
+    def k_curve(mode: str, kvals) -> dict:
+        return {K: {"rate": rate(mode, K),
+                    **{k: round(v, 2)
+                       for k, v in chain_profile(mode, K).items()}}
+                for K in kvals}
+
     out = {"fma": rate("fma", K16), "add": rate("add", K16),
-           "mix": rate("mix", K16)}
+           "mix": rate("mix", K16), "bwdmix": rate("bwdmix", K16)}
     if ks:
-        out["mix_k"] = {K: {"rate": rate("mix", K),
-                            **{k: round(v, 2)
-                               for k, v in chain_profile(K).items()}}
-                        for K in ks}
+        out["mix_k"] = k_curve("mix", ks)
+        out["bwdmix_k"] = k_curve("bwdmix", ks)
     return out
 
 

@@ -349,11 +349,16 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         # triangles AND spheres, gated by the precomputed per-(site, tile)
         # presence bitword (pres_ref, SMEM) — zero in-kernel reductions on
         # the lane axis; the caller reduces the table once at the end.
-        pres_ref, dobj_ref, dcam_ref, img_ref, chain_scr = refs
+        pres_ref, lut_ref, dobj_ref, dcam_ref, img_ref, chain_scr = refs
         dtri_ref = dsph_ref = dlane_ref = None
-        tri_scan = (_unrolled_tri_scan
-                    if unroll and n_tri <= UNROLL_TRIANGLES
-                    else _smem_tri_scan)(tri_ref, n_tri)
+        # gathers run the presence-bit loop; RAYTPU_BWD_GATHER=scan keeps
+        # the select-accumulate scan for A/B measurement (bench-only)
+        import os as _os
+        _gather_scan = _os.environ.get("RAYTPU_BWD_GATHER") == "scan"
+        tri_scan = ((_unrolled_tri_scan
+                     if unroll and n_tri <= UNROLL_TRIANGLES
+                     else _smem_tri_scan)(tri_ref, n_tri)
+                    if _gather_scan else None)
     else:
         dtri_ref, dsph_ref, dcam_ref, img_ref, chain_scr = refs
         dlane_ref = dobj_ref = pres_ref = None
@@ -397,7 +402,72 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
     # per-bounce dead-site machinery of earlier designs cost ~2-3 ms per
     # bounce at 1024^2 regardless of gating granularity).
     B = cfg.bounces
-    prim = _gather_row(tri_scan, sph_ref, n_tri, n_sph, pid)
+
+    if fast_scatter:
+        # Presence-bit gather/scatter (round 5): the select-accumulate
+        # gather scanned ALL n_obj objects per site (~17 vector ops each —
+        # a third of the whole backward census at Cornell scale), and the
+        # round-4 scatter tested 28 static @pl.when gates per site whose
+        # scalar branches stall the VLIW pipeline. Both are replaced by a
+        # while-loop over the SET BITS of the per-(site, tile) presence
+        # word — on average ~1.7 objects per tile — with the object index
+        # recovered by a De Bruijn multiply + 32-entry SMEM LUT (ctz) and
+        # the object row read via dynamic SMEM indexing.
+        ncols_g = pl.num_programs(1)
+
+        def _lowbit_index(w):
+            """Index of the lowest set bit of scalar int32 w (de Bruijn)."""
+            low = w & (-w)
+            h = jax.lax.shift_right_logical(low * jnp.int32(0x077CB531),
+                                            jnp.int32(27)) & jnp.int32(31)
+            return lut_ref[h]
+
+        def gather_pres(ids, site):
+            """_Row for each lane's hit object, visiting only the objects
+            present in this (site, tile) — replaces ``_gather_row``."""
+            pres0 = pres_ref[site, i * ncols_g + j]
+            zero_ = jnp.zeros(ids.shape, _F)
+            # flat layout: cols 0..14 (v0,e1,e2,n,rgb), 15 mat (miss=1), 16 r2
+            init = (zero_,) * 15 + (jnp.ones(ids.shape, _F), zero_)
+
+            def body(st):
+                w, flat = st
+                o = _lowbit_index(w)
+                is_tri = o < n_tri
+                ot = jnp.minimum(o, jnp.int32(max(n_tri - 1, 0)))
+                os_ = jnp.clip(o - n_tri, 0, max(n_sph - 1, 0))
+                vals = []
+                for c in range(15):
+                    t = tri_ref[ot, c]
+                    if c < 3:             # v0 <- sphere center
+                        s_v = sph_ref[os_, c]
+                    elif c >= 12:         # rgb <- sphere rgb (cols 4:7)
+                        s_v = sph_ref[os_, c - 8]
+                    else:                 # e1/e2/n: zero for spheres
+                        s_v = _F(0.0)
+                    vals.append(jnp.where(is_tri, t, s_v))
+                vals.append(jnp.where(is_tri, tri_ref[ot, 15],
+                                      sph_ref[os_, 7]))       # mat
+                vals.append(jnp.where(is_tri, _F(0.0),
+                                      sph_ref[os_, 3]))       # r2
+                m = ids == o
+                flat2 = tuple(jnp.where(m, vals[c], flat[c])
+                              for c in range(17))
+                return (w & (w - 1), flat2)
+
+            _, flat = jax.lax.while_loop(lambda st: st[0] != 0, body,
+                                         (pres0, init))
+            return _Row(tuple(flat[0:3]), tuple(flat[3:6]),
+                        tuple(flat[6:9]), tuple(flat[9:12]),
+                        tuple(flat[12:15]), flat[16], flat[15],
+                        ids >= n_tri, ids >= 0)
+
+        if _gather_scan:
+            gather_pres = lambda ids, site: _gather_row(
+                tri_scan, sph_ref, n_tri, n_sph, ids)
+        prim = gather_pres(pid, 0)
+    else:
+        prim = _gather_row(tri_scan, sph_ref, n_tri, n_sph, pid)
     if B > 0:
         n_live = jnp.int32(0)
         for b in range(B):
@@ -468,7 +538,8 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
 
         def fbody(k, carr):
             ids_k = bid_ref[pl.ds(k, 1)][0]
-            row = _gather_row(tri_scan, sph_ref, n_tri, n_sph, ids_k)
+            row = (gather_pres(ids_k, 1 + k) if fast_scatter
+                   else _gather_row(tri_scan, sph_ref, n_tri, n_sph, ids_k))
             # save the linearization-relevant carry prefix INTO step k plus
             # the gathered row (16 diff leaves + mat), so the reverse sweep
             # never rescans the table — for streamed scenes that is one
@@ -504,41 +575,29 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
 
     # --- scatter helpers: object cotangents for one site (prim / bounce k)
     if fast_scatter:
-        # Presence-gated VMEM accumulate — the round-4 scatter. The old
-        # per-(object, col) tile->scalar masked sums were ~75% of the whole
-        # backward (r4 ablation: 1.9 -> 0.5 ms without them at 512^2 aa4):
-        # each jnp.sum/jnp.any is a serialized cross-lane reduction. Here
-        # instead (a) the per-(site, tile) set of hit objects arrives as a
-        # precomputed SMEM bitword (one OR-reduce over the residual ids,
-        # done OUTSIDE the kernel by XLA), so the gate is a free scalar bit
-        # test, and (b) the masked sums reduce only over the AA axis into a
-        # persistent (n_obj, 16, TILE_H, TILE_W) VMEM table — plain vector
-        # adds — which the caller reduces across lanes ONCE at the end.
-        n_obj = n_tri + n_sph
-
-        ncols = pl.num_programs(1)
-
+        # Presence-bit-loop VMEM accumulate (round 5; supersedes the r4
+        # design whose 28 static @pl.when gates per site each cost a scalar
+        # branch — the branch stalls, not the masked sums, dominated its
+        # measured time). One while-loop iteration per PRESENT object
+        # (avg ~1.7/tile on Cornell): the masked sums reduce only over the
+        # AA axis into a persistent (n_obj, 16, TILE_H, TILE_W) VMEM table
+        # at a dynamic object row — plain vector adds — which the caller
+        # reduces across lanes ONCE at the end.
         def scatter_site(site, dflat, ids):
             # pres_ref holds the whole (sites, n_tiles) table in SMEM
             # (Mosaic rejects sub-(8,128) blocked specs even for SMEM)
-            pres = pres_ref[site, i * ncols + j]
+            pres0 = pres_ref[site, i * ncols_g + j]
 
-            def one(o):
-                @pl.when(((pres >> o) & 1) != 0)
-                def _():
-                    mf = (ids == o).astype(_F)
-                    for c in range(16):
-                        dobj_ref[o, c] = (dobj_ref[o, c]
-                                          + jnp.sum(mf * dflat[c], axis=0))
+            def body(w):
+                o = _lowbit_index(w)
+                mf = (ids == o).astype(_F)
+                for c in range(16):
+                    dobj_ref[pl.ds(o, 1), c] = (
+                        dobj_ref[pl.ds(o, 1), c]
+                        + jnp.sum(mf * dflat[c], axis=0)[None])
+                return w & (w - 1)
 
-            if unroll:
-                for o in range(n_obj):
-                    one(o)
-            else:
-                def body(o, _):
-                    one(o)
-                    return 0
-                jax.lax.fori_loop(0, n_obj, body, 0)
+            jax.lax.while_loop(lambda w: w != 0, body, pres0)
     else:
         # Sphere cotangents: SMEM accumulates (spheres are always few).
         def scatter_sph(ids, dflat):
@@ -650,6 +709,12 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
 
 
 
+_DEBRUIJN_LUT = np.array(
+    [0, 1, 28, 2, 29, 14, 24, 3, 30, 22, 20, 15, 25, 17, 4, 8,
+     31, 27, 13, 23, 21, 19, 16, 7, 26, 12, 18, 6, 11, 5, 10, 9],
+    dtype=np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_tri", "n_sph", "hp",
                                              "wp", "interpret", "streamed",
                                              "ablate"))
@@ -736,6 +801,10 @@ def _call_bwd(tri, sph, cam, off, g, pid, lit, bid, pres, cfg: RenderConfig,
     if fast_scatter:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(pres)
+        # ctz LUT for the presence-bit loops: index_of_lowest_set_bit via
+        # de Bruijn multiply (0x077CB531) — 32 i32 scalars in SMEM
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(_DEBRUIJN_LUT)
     outs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -21,6 +21,7 @@ wavefront formulation recovers the reference's per-ray loop exit
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1059,10 +1060,22 @@ def render_fused_raw(scene: Scene, cfg: RenderConfig,
 # compile). Bigger scenes switch to the streamed kernel, which double-buffers
 # STREAM_BLK-row blocks of the HBM-resident table through SMEM scratch — no
 # scene-size cap, same fused pipeline.
+#
+# The cutover value comes from the measured crossover curve
+# (docs/crossover_r05.json, `python bench.py --crossover`): the SMEM kernel
+# stays faster for every size that compiles (~1k rows; 2k fails), so the
+# constant sits at the largest power of two with compile headroom for the
+# shadow-quad table that shares SMEM with the triangle table.
 MAX_SMEM_TRIANGLES = 512
 
 
 def _use_streamed(scene: Scene) -> bool:
+    # RAYTPU_FORCE_KERNEL=smem|streamed pins the choice (crossover bench)
+    force = os.environ.get("RAYTPU_FORCE_KERNEL")
+    if force == "smem":
+        return False
+    if force == "streamed":
+        return True
     return scene.tri_v0.shape[0] > MAX_SMEM_TRIANGLES
 
 
