@@ -906,7 +906,7 @@ def bench_roofline(scene, iters: int) -> dict:
         "achieved_census_ops_s": {"fwd": round(cen_f_total / dt),
                                   "bwd": round(cen_b_total / dt_bwd)},
         "vpu_peak_ops_s": {k: round(v) for k, v in peaks.items()
-                           if k != "mix_k"},
+                           if not isinstance(v, dict)},
         "mix_chain_vs_parallelism": {
             str(k): {"P": v["P"], "rate": round(v["rate"])}
             for k, v in peaks["mix_k"].items()},

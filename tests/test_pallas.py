@@ -123,6 +123,23 @@ def test_streamed_large_scene():
                               bounces=2))
 
 
+def test_force_kernel_override(monkeypatch):
+    """RAYTPU_FORCE_KERNEL pins the SMEM/streamed choice (the crossover
+    bench's knob, bench --crossover): a Cornell-sized scene forced through
+    the STREAMED kernel must render identically to the SMEM default."""
+    from uob_raytracer_tpu.kernels.render_fwd import _use_streamed
+    sc = cornell_box()
+    cfg = RenderConfig(width=128, height=16, shadow_samples=2, bounces=1)
+    img_smem, _ = render_fused_raw(sc, cfg, interpret=not ON_TPU)
+    monkeypatch.setenv("RAYTPU_FORCE_KERNEL", "streamed")
+    assert _use_streamed(sc)
+    img_str, _ = render_fused_raw(sc, cfg, interpret=not ON_TPU)
+    monkeypatch.setenv("RAYTPU_FORCE_KERNEL", "smem")
+    assert not _use_streamed(_dense_scene(600))
+    np.testing.assert_allclose(np.asarray(img_str), np.asarray(img_smem),
+                               atol=2e-5)
+
+
 def test_streamed_occlusion_with_quads():
     """The streamed mixed quad/triangle occlusion scan with a pairing: the
     dense scene's Cornell walls pair, so both accept branches of the

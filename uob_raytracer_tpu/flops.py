@@ -553,7 +553,7 @@ def measure_vpu_peak(iters: int = 20, ks=()) -> dict:
             return min(ts)
 
         dt = max(best(f2) - best(f1), 1e-9) / iters
-        per_iter = MIX_OPS_PER_ITER if mode == "mix" else 1
+        per_iter = (MIX_OPS_PER_ITER if mode in ("mix", "bwdmix") else 1)
         return H * W * INNER * K * per_iter / dt
 
     def chain_profile(mode: str, K: int) -> dict:

@@ -61,6 +61,48 @@ def _det3(a, b, c):
 # Per-lane gathered object row: the differentiable inputs of the tile replay
 # --------------------------------------------------------------------------
 
+# --- division-lean differentiable primitives (round 5) -------------------
+# f32 div is ~16x a regular VPU op (measured: dependency-fed div chains run
+# 0.37 T divs/s vs 6 T mix-ops/s on this v5e), and every primal div spawns
+# 1-2 MORE divs in its JAX transpose (d(a/b) needs g/b and g*a/b^2) — the
+# r5 census showed ~3% div ops carrying ~45% of the backward's real cycle
+# budget. These wrappers keep exactly ONE slow op per site and make every
+# derivative term multiplicative (the transpose of a linear-in-tangent mul
+# chain is mul). Math is identical to /-based forms up to 1-ulp rounding;
+# the kernel-vs-jnp-replay gradient tests bound the drift at 1e-4 relative.
+
+
+@jax.custom_jvp
+def _recip(x):
+    return _F(1.0) / x
+
+
+@_recip.defjvp
+def _recip_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    r = _F(1.0) / x
+    return r, -t * r * r
+
+
+@jax.custom_jvp
+def _rsqrt(x):
+    return jax.lax.rsqrt(x)
+
+
+@_rsqrt.defjvp
+def _rsqrt_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    r = jax.lax.rsqrt(x)
+    return r, _F(-0.5) * t * r * r * r
+
+
+def _sqrt_rs(x):
+    """sqrt(x) as x * rsqrt(x): one slow op INCLUDING its derivative
+    (d = 0.5 t rsqrt by the product rule through _rsqrt's jvp), vs
+    sqrt-then-divide's two. Requires x > 0 — callers guard zeros."""
+    return x * _rsqrt(x)
+
+
 class _Row:
     """Unified per-lane object row (tuple-of-[A,TH,TW] components)."""
 
@@ -126,7 +168,7 @@ def _hit_from_row(row: _Row, start, d):
     b = _sub(start, row.v0)
     detA = _det3(nd, row.e1, row.e2)
     degen = detA == 0
-    recip = _F(1.0) / jnp.where(degen, _F(1.0), detA)
+    recip = _recip(jnp.where(degen, _F(1.0), detA))
     u = _det3(nd, b, row.e2) * recip
     v = _det3(nd, row.e1, b) * recip
     tri_pos = _add(row.v0, _add(_scale(u, row.e1), _scale(v, row.e2)))
@@ -144,12 +186,12 @@ def _hit_from_row(row: _Row, start, d):
     # sphere-quadratic input's gradient (observed at 1024^2 b10 — tangent
     # lanes exist at f32); zero one-sided derivative instead.
     sq_zero = disc == 0
-    sq = jnp.sqrt(jnp.where(no_sol | sq_zero | ~row.is_sph, _F(1.0), disc))
+    sq = _sqrt_rs(jnp.where(no_sol | sq_zero | ~row.is_sph, _F(1.0), disc))
     sq = jnp.where(sq_zero, _F(0.0), sq)
     q = jnp.where(b_q > 0, _F(-0.5) * (b_q + sq), _F(-0.5) * (b_q - sq))
     qz = q == 0
-    x0 = q / jnp.where(a_q == 0, _F(1.0), a_q)
-    x1 = jnp.where(qz, x0, c_q / jnp.where(qz, _F(1.0), q))
+    x0 = q * _recip(jnp.where(a_q == 0, _F(1.0), a_q))
+    x1 = jnp.where(qz, x0, c_q * _recip(jnp.where(qz, _F(1.0), q)))
     xmin = jnp.minimum(x0, x1)
     xmax = jnp.maximum(x0, x1)
     cand = jnp.where(xmin >= 0, xmin, xmax)
@@ -157,7 +199,7 @@ def _hit_from_row(row: _Row, start, d):
     sph_pos = _add(start, _scale(cand, d))
     pc = _sub(sph_pos, c)
     pl2 = _dot(pc, pc)
-    inv = _F(1.0) / jnp.sqrt(jnp.where(pl2 == 0, _F(1.0), pl2))
+    inv = _rsqrt(jnp.where(pl2 == 0, _F(1.0), pl2))
     sph_n = _scale(inv, pc)
 
     m = row.is_sph
@@ -188,11 +230,14 @@ def _bounce_step(cfg: RenderConfig, row_b: _Row, carry):
     in_air = medium == _F(cfg.ior_air)
     n1 = jnp.where(in_air, _F(cfg.ior_air), _F(cfg.ior_glass))
     n2 = jnp.where(in_air, _F(cfg.ior_glass), _F(cfg.ior_air))
-    nr = n1 / n2
+    # nr = n1/n2 with both f32-constant ratios precomputed (numpy f32 div
+    # == device f32 div bit-for-bit) — selects replace a 16x-cost div
+    nr = jnp.where(in_air, _F(cfg.ior_air) / _F(cfg.ior_glass),
+                   _F(cfg.ior_glass) / _F(cfg.ior_air))
     k = _F(1.0) - nr * nr * (_F(1.0) - c1a * c1a)
     tir = k < 0
     kz = k == 0   # grazing TIR boundary: kill the inf sqrt grad
-    c2 = jnp.sqrt(jnp.where(tir | kz, _F(1.0), k))
+    c2 = _sqrt_rs(jnp.where(tir | kz, _F(1.0), k))
     c2 = jnp.where(kz, _F(0.0), c2)
     refr = _add(_scale(nr, cur_d),
                 _scale(nr * c1a - c2, _scale(_F(-1.0), nflip)))
@@ -208,10 +253,13 @@ def _bounce_step(cfg: RenderConfig, row_b: _Row, carry):
     nstart = _add(cur_pos, _scale(_F(cfg.bias), ndir))
     alive = active & ~dead
     nd2 = jnp.maximum(_dot(ndir, ndir), _F(1e-30))
-    inv = _F(1.0) / jnp.sqrt(nd2)
+    inv = _rsqrt(nd2)
     ndir = _scale(inv, ndir)
     if cfg.fresnel:
-        r0f = jnp.square((n1 - n2) / (n1 + n2))
+        # ((n1-n2)/(n1+n2))^2 is the same trace-time constant for either
+        # medium (sign squares away) — no runtime divide
+        a_, g_ = _F(cfg.ior_air), _F(cfg.ior_glass)
+        r0f = _F(((a_ - g_) / (a_ + g_)) ** 2)
         refl_w = r0f + (1 - r0f) * (1 - c1a) ** 5
         w_step = jnp.where(use_refl, _F(1.0), _F(1.0) - refl_w)
         weight = jnp.where(alive, weight * w_step, weight)
@@ -298,10 +346,13 @@ def _shade_tile(cfg: RenderConfig, cam_in, prim_diffuse, term_valid, lit,
     sdir = _sub(lb, sp_pos)
     radius_sq = _dot(sdir, sdir)
     rs = jnp.where(radius_sq == 0, _F(1.0), radius_sq)
+    # x/(4 pi rs) as x * (1/4pi) * recip(rs): one div-class op, mul-only
+    # transpose (see _recip) — <=1-ulp drift vs the /-form
     lam_base = (jnp.maximum(_dot(sdir, sp_nrm), 0.0)
-                / (_F(4.0 * np.pi) * rs))
+                * _F(1.0 / (4.0 * np.pi)) * _recip(rs))
     lam_base = jnp.where(radius_sq == 0, _F(0.0), lam_base)
-    dl_scale = lit * lam_base / _F(cfg.shadow_samples)   # lit is frozen
+    dl_scale = (lit * lam_base
+                * _F(1.0 / np.float32(cfg.shadow_samples)))  # lit frozen
     dl = tuple(c * dl_scale for c in light_rgb)
 
     color = tuple(
@@ -505,8 +556,8 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
         base = (dx, dy, dz)
         d = (_dot(r0, base), _dot(r1, base), _dot(r2, base))
         if not cfg.cpu_ref:   # CPU-ref rays stay unnormalized
-            dlen = jnp.sqrt(_dot(d, d))
-            d = (d[0] / dlen, d[1] / dlen, d[2] / dlen)
+            inv_len = _rsqrt(_dot(d, d))   # nonzero: rotated focal ray
+            d = _scale(inv_len, d)
         start = tuple(jnp.broadcast_to(cam_in[9 + c][None], shape)
                       for c in range(3))
         pos, normal, rgb, _, _ = _hit_from_row(prim.with_diff(prim_in),
@@ -591,10 +642,11 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
             def body(w):
                 o = _lowbit_index(w)
                 mf = (ids == o).astype(_F)
-                for c in range(16):
-                    dobj_ref[pl.ds(o, 1), c] = (
-                        dobj_ref[pl.ds(o, 1), c]
-                        + jnp.sum(mf * dflat[c], axis=0)[None])
+                # one batched dynamic RMW of the object's 16-col row
+                # (static-stacked update): 1 dynamic address instead of 16
+                upd = jnp.stack([jnp.sum(mf * dflat[c], axis=0)
+                                 for c in range(16)])
+                dobj_ref[pl.ds(o, 1)] = dobj_ref[pl.ds(o, 1)] + upd[None]
                 return w & (w - 1)
 
             jax.lax.while_loop(lambda w: w != 0, body, pres0)
