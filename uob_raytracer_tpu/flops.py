@@ -272,7 +272,7 @@ def census_kernel_ops(trace_fn, example_scene, *, while_weight: float,
 
 
 def _depth_jaxpr(jaxpr, in_depths, ctx, while_weight: float,
-                 cond_weight: float):
+                 cond_weight: float, slow_cost: float = 1.0):
     """Longest dependency chain (in counted vector ops) through a jaxpr.
 
     Returns the depths of the jaxpr's outvars given ``in_depths`` for its
@@ -310,7 +310,8 @@ def _depth_jaxpr(jaxpr, in_depths, ctx, while_weight: float,
         """Per-iteration depth growth of a loop body, measured with zero
         input depths (the serial growth rate through the carry)."""
         sub = {"max": 0.0}
-        _depth_jaxpr(inner, [0.0] * n_in, sub, while_weight, cond_weight)
+        _depth_jaxpr(inner, [0.0] * n_in, sub, while_weight, cond_weight,
+                     slow_cost)
         return sub["max"]
 
     for eqn in jaxpr.eqns:
@@ -333,7 +334,7 @@ def _depth_jaxpr(jaxpr, in_depths, ctx, while_weight: float,
         elif name == "pallas_call":
             inner = eqn.params["jaxpr"]
             outs = _depth_jaxpr(inner, [read(v) for v in eqn.invars],
-                                ctx, while_weight, cond_weight)
+                                ctx, while_weight, cond_weight, slow_cost)
             for v in eqn.outvars:
                 write(v, ctx["max"])
             continue
@@ -346,13 +347,15 @@ def _depth_jaxpr(jaxpr, in_depths, ctx, while_weight: float,
             else:
                 ij = getattr(inner, "jaxpr", inner)
                 outs = _depth_jaxpr(ij, [read(v) for v in eqn.invars],
-                                    ctx, while_weight, cond_weight)
+                                    ctx, while_weight, cond_weight,
+                                    slow_cost)
                 for v, od in zip(eqn.outvars, outs):
                     write(v, od)
                 continue
         elif name in _ELEMWISE:
             elems = max(_aval_elems(v.aval) for v in eqn.outvars)
-            d = ind + (1.0 if elems > 1 else 0.0)
+            cost = (slow_cost if name in ("div", "sqrt", "rsqrt") else 1.0)
+            d = ind + (cost if elems > 1 else 0.0)
         elif name == "integer_pow":
             elems = max(_aval_elems(v.aval) for v in eqn.outvars)
             k = abs(int(eqn.params["y"]))
@@ -379,7 +382,8 @@ def _depth_jaxpr(jaxpr, in_depths, ctx, while_weight: float,
 
 
 def census_critical_path(trace_fn, example_scene, *, while_weight: float,
-                         cond_weight: float = 1.0) -> float:
+                         cond_weight: float = 1.0,
+                         slow_cost: float = 1.0) -> float:
     """Critical dependency-path length (counted vector ops) of the pallas
     kernel inside ``trace_fn(scene)``, per grid step. Pair with
     ``census_kernel_ops`` (same weights) to get the kernel's average DAG
@@ -391,7 +395,8 @@ def census_critical_path(trace_fn, example_scene, *, while_weight: float,
     if kj is None:
         raise ValueError("no pallas_call found in traced function")
     ctx = {"max": 0.0}
-    _depth_jaxpr(kj, [0.0] * len(kj.invars), ctx, while_weight, cond_weight)
+    _depth_jaxpr(kj, [0.0] * len(kj.invars), ctx, while_weight, cond_weight,
+                 slow_cost)
     return ctx["max"]
 
 
@@ -400,6 +405,47 @@ MIX_OPS_PER_ITER = 17   # jaxpr ops per element per iteration of the "mix"
 
 
 VREG_ELEMS = 8 * 128   # one VPU vector register / instruction covers (8,128)
+
+
+def _bwdmix_iter(accs, x):
+    """One iteration of the BACKWARD-blend calibration chain: 17 jaxpr ops
+    per element per accumulator, blended to the replay backward's census
+    (~41% select, 24% mul, 18% add, 6% cmp, 4% neg, ~2% div/sqrt):
+    7 sel + 4 mul + 3 add + 1 cmp + 1 neg + 1 {sub|div|sqrt} — the slow-op
+    slot is div on 5 of K accumulators and sqrt on 1, matching the census
+    fractions at K=16 (5/272 = 1.8%, 1/272 = .4%). Shared by the VPU-peak
+    chains (``measure_vpu_peak``) and the structure twin
+    (``build_bwd_structure_twin``) so both ceilings use the same blend."""
+    import jax.numpy as jnp
+
+    out = []
+    h = np.float32(0.5)
+    for ki, a in enumerate(accs):
+        t1 = a * x                    # mul
+        m1 = t1 < x                   # cmp
+        w1 = jnp.where(m1, t1, a)     # select
+        t2 = w1 * h                   # mul
+        s1 = t2 + x                   # add
+        w2 = jnp.where(m1, s1, t2)    # select
+        n1 = -w2                      # neg
+        w3 = jnp.where(m1, n1, s1)    # select
+        s2 = w3 + t1                  # add
+        w4 = jnp.where(m1, s2, w3)    # select
+        t3 = w4 * x                   # mul
+        w5 = jnp.where(m1, t3, w4)    # select
+        s3 = w5 + t2                  # add
+        w6 = jnp.where(m1, s3, w5)    # select
+        t4 = w6 * h                   # mul
+        if ki % 16 in (0, 3, 6, 9, 12):
+            sl = s3 / (t4 + np.float32(1.125))   # div
+        elif ki % 16 == 15:
+            # abs+sqrt = 2 ops — this acc runs 18, so a 17-based per-iter
+            # divisor understates the ceiling by <=0.4% at K=16
+            sl = jnp.sqrt(jnp.abs(t4))
+        else:
+            sl = s3 - t4              # sub
+        out.append(jnp.where(m1, sl, a))   # select (17)
+    return tuple(out)
 
 
 def measure_vpu_peak(iters: int = 20, ks=()) -> dict:
@@ -449,41 +495,7 @@ def measure_vpu_peak(iters: int = 20, ks=()) -> dict:
                 if mode == "add":
                     return tuple(a + x for a in accs)
                 if mode == "bwdmix":
-                    # 17 jaxpr ops per element, blended to the BACKWARD
-                    # census (~41% select, 24% mul, 18% add, 6% cmp, 4%
-                    # neg, ~2% div/sqrt): 7 sel + 4 mul + 3 add + 1 cmp +
-                    # 1 neg + 1 {sub|div|sqrt} — the slow-op slot is div on
-                    # 5 of K accumulators and sqrt on 1, matching the
-                    # census fractions at K=16 (5/272 = 1.8%, 1/272 = .4%)
-                    out = []
-                    h = np.float32(0.5)
-                    for ki, a in enumerate(accs):
-                        t1 = a * x                    # mul
-                        m1 = t1 < x                   # cmp
-                        w1 = jnp.where(m1, t1, a)     # select
-                        t2 = w1 * h                   # mul
-                        s1 = t2 + x                   # add
-                        w2 = jnp.where(m1, s1, t2)    # select
-                        n1 = -w2                      # neg
-                        w3 = jnp.where(m1, n1, s1)    # select
-                        s2 = w3 + t1                  # add
-                        w4 = jnp.where(m1, s2, w3)    # select
-                        t3 = w4 * x                   # mul
-                        w5 = jnp.where(m1, t3, w4)    # select
-                        s3 = w5 + t2                  # add
-                        w6 = jnp.where(m1, s3, w5)    # select
-                        t4 = w6 * h                   # mul
-                        if ki % 16 in (0, 3, 6, 9, 12):
-                            sl = s3 / (t4 + np.float32(1.125))   # div
-                        elif ki % 16 == 15:
-                            # abs+sqrt = 2 ops — this acc runs 18, so the
-                            # 17-based rate() divisor understates the
-                            # ceiling by <=0.4% at K=16 (noise-level)
-                            sl = jnp.sqrt(jnp.abs(t4))
-                        else:
-                            sl = s3 - t4              # sub
-                        out.append(jnp.where(m1, sl, a))   # select (17)
-                    return tuple(out)
+                    return _bwdmix_iter(accs, x)
                 # mix: MIX_OPS_PER_ITER (17) jaxpr ops per element, blended
                 # to the render kernel's census profile:
                 # 6 mul, 3 cmp, 2 add, 2 select, 1 sub, 1 neg, 1 and, 1 max
@@ -600,3 +612,367 @@ def bounce_tile_fracs_from_residuals(res, bounces: int):
     tiles = pad.reshape(B, A, hp // 8, 8, wp // 128, 128)
     active = (tiles >= 0).any(axis=(1, 3, 5))     # [B, th, tw]
     return [float(a.mean()) for a in active]
+
+
+# ---------------------------------------------------------------------------
+# Structure-matched backward ceiling (VERDICT r4 task 1, closing measurement).
+# The chain-matched ceiling above captures op BLEND and DAG WIDTH but not the
+# replay backward's *structural* features — presence-bit while-loops, dynamic
+# SMEM/VMEM indexing, the bounce chain's scratch write/read, the per-object
+# RMW scatter — whose cost the jaxpr census cannot see (a dynamic gather is
+# one "op" that stalls a VLIW pipeline for many). The twin below is a Pallas
+# kernel with the replay backward's EXACT loop/memory structure, driven by
+# the SAME residual data (real presence words, hit ids, bounce liveness), but
+# with the vjp math replaced by bwdmix-blend calibration chains matched, by
+# the same census/critical-path machinery, on THREE axes simultaneously:
+#   1. total census ops per lane (the op count),
+#   2. critical-path DEPTH per grid step (the serial-dependency length —
+#      matching total ops alone gave the first twin ~2x the real kernel's
+#      ILP width and an unfairly fast ceiling),
+#   3. slow-op (div/sqrt/rsqrt) count AND placement: the real vjp's
+#      reciprocals are dependency-fed (a div's result is consumed
+#      immediately; measured ~16x a regular VPU op when fed), so the twin
+#      places the real kernel's on-critical-path slow-op count on its
+#      longest accumulator chain and spreads the rest across parallel
+#      slots, matching the latency-weighted depth (slow_cost=16).
+# Its measured time is the structural speed of light: this chip running
+# exactly this dependency structure at the kernel's own op count and blend
+# with zero algorithmic waste. Mirrors the differentiation of
+# /root/reference/Source/kernels.cl:342-365 (the draw pipeline the replay
+# backward transposes).
+# ---------------------------------------------------------------------------
+
+
+
+
+def build_bwd_structure_twin(scene, cfg, res, n_obj: int, *,
+                             target_per_lane: float, target_depth: float,
+                             target_wdepth: float, slow_per_lane: float,
+                             live: float, lanes_per_tile: int,
+                             slow_cost: float = 16.0,
+                             main_step_ratio: float = 1380.0 / 233.0) -> dict:
+    """Structural twin of ``render_bwd._bwd_kernel`` (fast-scatter path).
+
+    Mirrored structure at the real kernel's multiplicities: prim presence
+    gather, traced-bound forward bounce chain with 30-row scratch writes,
+    reverse chain with scratch reads + the verbatim presence-bit scatter
+    (16 masked AA-reductions + one batched dynamic VMEM row RMW per present
+    object), 21 dcam tile accumulates, 3 img writes — all driven by the
+    REAL residuals (presence words, hit ids, bounce liveness).
+
+    The calibration math is matched on three measured axes of the real
+    backward (see the module comment): ``target_per_lane`` census ops,
+    ``target_depth`` critical-path ops, and ``target_wdepth`` /
+    ``slow_per_lane`` for dependency-fed div/sqrt/rsqrt placement. The
+    main chain is PYTHON-UNROLLED (straight-line, like the real vjp code)
+    with a per-iteration accumulator count solving the ops-vs-depth system,
+    and a div schedule putting the real on-path slow-op count on slot 0's
+    serial chain.
+
+    Returns {"scalar_fn", ...meta}; ``scalar_fn(scene)`` is timeable by
+    ``bench.time_scalar_fn``; meta carries achieved census/depth so the
+    roofline artifact shows the match quality.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .kernels.render_bwd import _DEBRUIJN_LUT, CAM_COLS
+    from .kernels.render_fwd import TILE_H, TILE_W
+
+    F = jnp.float32
+    A = cfg.aa_rays
+    H, W = cfg.height, cfg.width
+    assert H % TILE_H == 0 and W % TILE_W == 0, "twin assumes aligned dims"
+    B = max(cfg.bounces, 1)
+    K_STEP = 4        # step-vjp chain width (inside the live-weighted loop)
+    SCR = 30          # chain scratch rows per step (= render_bwd._SCR_LEAVES)
+
+    # --- residual-driven inputs (identical prep to render_replay_bwd) ---
+    pid = jnp.asarray(res.prim_id, jnp.int32)             # (A, H, W)
+    lit = jnp.asarray(res.lit_cnt, jnp.float32)
+    if cfg.bounces > 0:
+        bid = jnp.asarray(res.bounce_id, jnp.int32)       # (B, A, H, W)
+    else:
+        bid = jnp.full((1,) + pid.shape, -1, jnp.int32)
+    ids_sites = (jnp.concatenate([pid[None], bid], axis=0)
+                 if cfg.bounces > 0 else pid[None])
+    sites = ids_sites.shape[0]
+    r = ids_sites.reshape(sites, -1, H // TILE_H, TILE_H, W // TILE_W,
+                          TILE_W)
+    bits = jnp.where(r >= 0,
+                     jnp.left_shift(jnp.int32(1), jnp.maximum(r, 0)),
+                     jnp.int32(0))
+    pres = jax.lax.reduce(bits, jnp.int32(0), jax.lax.bitwise_or,
+                          (1, 3, 5)).reshape(sites, -1)
+    tab = jnp.asarray(np.linspace(0.1, 0.9, 32 * 17, dtype=np.float32)
+                      .reshape(32, 17))
+    g0 = jnp.full((3, H, W), 1e-3, jnp.float32)
+
+    def _iter_ops(a, x, use_div):
+        """One 17-op calibration body for ONE accumulator (bwdmix blend);
+        the 17th op is div (dependency-fed: consumed next iteration) when
+        scheduled, else sub."""
+        h = np.float32(0.5)
+        t1 = a * x                    # mul
+        m1 = t1 < x                   # cmp
+        w1 = jnp.where(m1, t1, a)     # select
+        t2 = w1 * h                   # mul
+        s1 = t2 + x                   # add
+        w2 = jnp.where(m1, s1, t2)    # select
+        n1 = -w2                      # neg
+        w3 = jnp.where(m1, n1, s1)    # select
+        s2 = w3 + t1                  # add
+        w4 = jnp.where(m1, s2, w3)    # select
+        t3 = w4 * x                   # mul
+        w5 = jnp.where(m1, t3, w4)    # select
+        s3 = w5 + t2                  # add
+        w6 = jnp.where(m1, s3, w5)    # select
+        t4 = w6 * h                   # mul
+        if use_div:
+            sl = s3 / (t4 + np.float32(1.125))   # div (slow slot)
+        else:
+            sl = s3 - t4              # sub
+        return jnp.where(m1, sl, a)   # select (17)
+
+    def make_kernel(n_main, n_step, slots, div_sched):
+        """slots: accumulator count per unrolled main iteration;
+        div_sched: per iteration, the set of slots whose 17th op is div."""
+
+        def main_chain(xs, accs, lo, hi):
+            # Unrolled straight-line iterations lo..hi-1 (like the vjp).
+            # Each iteration consumes a DIFFERENT gathered-row tile from
+            # ``xs`` so the whole row stays live across the chain — the
+            # real vjp keeps the gathered row + carries + cotangents live
+            # throughout, and that register pressure is part of the
+            # structure being mirrored.
+            for it in range(lo, hi):
+                x = xs[it % len(xs)]
+                k = slots[it]
+                accs = accs[:k] + [x * np.float32(1.0 + 1e-6 * (it + s))
+                                   for s in range(len(accs), k)]
+                accs = [_iter_ops(a, x, s in div_sched[it])
+                        for s, a in enumerate(accs[:k])]
+            return accs
+
+        def step_chain(x):
+            accs = tuple(x * np.float32(1.0 + 1e-7 * s)
+                         for s in range(K_STEP))
+            return jax.lax.fori_loop(
+                0, n_step, lambda t, a: _bwdmix_iter(a, x), accs)
+
+        def kernel(tab_ref, pres_ref, lut_ref, g_ref, pid_ref, lit_ref,
+                   bid_ref, dobj_ref, dcam_ref, img_ref, chain_scr):
+            i, j = pl.program_id(0), pl.program_id(1)
+            ncols = pl.num_programs(1)
+
+            @pl.when((i == 0) & (j == 0))
+            def _():
+                dobj_ref[...] = jnp.zeros(dobj_ref.shape, F)
+                dcam_ref[...] = jnp.zeros(dcam_ref.shape, F)
+
+            pid_t = pid_ref[...]
+            lit_t = lit_ref[...]
+            g = (g_ref[0], g_ref[1], g_ref[2])
+
+            def _lowbit_index(w):
+                low = w & (-w)
+                h = jax.lax.shift_right_logical(
+                    low * jnp.int32(0x077CB531), jnp.int32(27)) & jnp.int32(31)
+                return lut_ref[h]
+
+            def gather(site, ids):
+                zero_ = jnp.zeros(ids.shape, F)
+                init = (zero_,) * 17
+
+                def body(st):
+                    w, flat = st
+                    o = _lowbit_index(w)
+                    m = ids == o
+                    flat2 = tuple(jnp.where(m, tab_ref[o, c], flat[c])
+                                  for c in range(17))
+                    return (w & (w - 1), flat2)
+
+                pres0 = pres_ref[site, i * ncols + j]
+                _, flat = jax.lax.while_loop(lambda st: st[0] != 0, body,
+                                             (pres0, init))
+                return flat
+
+            def scatter_site(site, dflat, ids):
+                pres0 = pres_ref[site, i * ncols + j]
+
+                def body(w):
+                    o = _lowbit_index(w)
+                    mf = (ids == o).astype(F)
+                    upd = jnp.stack([jnp.sum(mf * dflat[c % len(dflat)],
+                                             axis=0) for c in range(16)])
+                    dobj_ref[pl.ds(o, 1)] = dobj_ref[pl.ds(o, 1)] + upd[None]
+                    return w & (w - 1)
+
+                jax.lax.while_loop(lambda w: w != 0, body, pres0)
+
+            # prim gather + first half of the main (f1/f3-vjp) chain
+            flat0 = gather(0, pid_t)
+            x0 = flat0[0] + lit_t * F(1e-6) + g[0][None] * F(1e-3)
+            xs = (x0,) + flat0[1:]
+            accs = main_chain(xs, [x0], 0, n_main // 2)
+            a_mid = accs[0]
+
+            n_live = jnp.int32(0)
+            if cfg.bounces > 0:
+                for b in range(B):
+                    n_live += jnp.where(jnp.max(bid_ref[b]) >= 0, 1, 0
+                                        ).astype(jnp.int32)
+
+            # forward bounce chain: gather + 30-row scratch write per step
+            def fbody(k, carr):
+                ids_k = bid_ref[pl.ds(k, 1)][0]
+                flat = gather(1 + k, ids_k)
+                chain_scr[pl.ds(k, 1)] = jnp.stack(
+                    list(flat) + [carr] * (SCR - 17))[None]
+                return carr + flat[0]
+
+            carr = jax.lax.fori_loop(0, n_live, fbody, a_mid)
+
+            # reverse chain: scratch read + step-vjp chain + scatter
+            def rbody(i2, dcarr):
+                k = n_live - 1 - i2
+                ids_k = bid_ref[pl.ds(k, 1)][0]
+                scr = chain_scr[pl.ds(k, 1)][0]
+                y = dcarr + scr[0]
+                sa = step_chain(y)
+                scatter_site(1 + k, sa, ids_k)
+                return sa[0]
+
+            dcarr = jax.lax.fori_loop(0, n_live, rbody, carr)
+
+            # second half of the main chain + prim scatter + dcam + img
+            accs = main_chain(xs, [dcarr + a_mid] + accs[1:],
+                              n_main // 2, n_main)
+            scatter_site(0, accs, pid_t)
+            for c in range(CAM_COLS):
+                dcam_ref[c] = (dcam_ref[c] + accs[c % len(accs)][0]
+                               + a_mid[0])
+            for c in range(3):
+                img_ref[c] = accs[c % len(accs)][0]
+
+        return kernel
+
+    def make_call(n_main, n_step, slots, div_sched):
+        kernel = make_kernel(n_main, n_step, slots, div_sched)
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+
+        @jax.jit
+        def call(g, pid_a, lit_a, bid_a, pres_a, lut_a, tab_a):
+            outs = pl.pallas_call(
+                kernel,
+                grid=(H // TILE_H, W // TILE_W),
+                in_specs=[
+                    smem(), smem(), smem(),
+                    pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((A, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((A, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((B, A, TILE_H, TILE_W),
+                                 lambda i, j: (0, 0, i, j),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((n_obj, 16, TILE_H, TILE_W),
+                                 lambda i, j: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((CAM_COLS, TILE_H, TILE_W),
+                                 lambda i, j: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_obj, 16, TILE_H, TILE_W),
+                                         jnp.float32),
+                    jax.ShapeDtypeStruct((CAM_COLS, TILE_H, TILE_W),
+                                         jnp.float32),
+                    jax.ShapeDtypeStruct((3, H, W), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((B, SCR, A, TILE_H, TILE_W), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024),
+            )(tab_a, pres_a, lut_a, g, pid_a, lit_a, bid_a)
+            dobj, dcam, img = outs
+            return (jnp.sum(dobj) * F(1e-9) + jnp.sum(dcam) * F(1e-9)
+                    + jnp.sum(img) * F(1e-9))
+        return call
+
+    lut = jnp.asarray(_DEBRUIJN_LUT)
+
+    def scalar_for(n_main, n_step, slots, div_sched):
+        call = make_call(n_main, n_step, slots, div_sched)
+
+        def scalar_fn(s):
+            g = g0 + s.light_pos[0] * F(1e-12)
+            return call(g, pid, lit, bid, pres, lut, tab)
+        return scalar_fn
+
+    def census_at(n_main, n_step, slots, div_sched):
+        fn = scalar_for(n_main, n_step, slots, div_sched)
+        c = census_kernel_ops(fn, scene, while_weight=live,
+                              lanes_per_tile=lanes_per_tile)["per_lane"]
+        d = census_critical_path(fn, scene, while_weight=live)
+        return c, d
+
+    # --- sizing: depth first, then ops, then slow-op placement ---
+    # structure-only probe (no main chain, one step iter)
+    f0, d0 = census_at(0, 1, [], [])
+    c2, _ = census_at(0, 3, [], [])
+    c2 = (c2 - f0) / 2.0                       # census per step iteration
+    # step iters from the hand-count main:step census share
+    share_step = 1.0 / (1.0 + main_step_ratio)
+    budget = max(target_per_lane - f0, 17.0)
+    n_step = (max(1, round(budget * share_step / c2)) if c2 > 1e-9 else 1)
+    budget -= n_step * c2
+    # main iterations from the critical-path target (17 ops of depth each)
+    n_main = max(2, round((target_depth - d0) / 17.0))
+    # accumulator slots per iteration from the ops target
+    total_slots = max(n_main, round(budget / 17.0))
+    base, extra = divmod(total_slots, n_main)
+    slots = [base + (1 if i < extra else 0) for i in range(n_main)]
+    # slow-op schedule: the real on-path count rides slot 0's serial chain
+    on_path = int(np.clip(round((target_wdepth - target_depth)
+                                / max(slow_cost - 1.0, 1.0)), 0, n_main))
+    n_slow = int(max(round(slow_per_lane), on_path))
+    div_sched = [set() for _ in range(n_main)]
+    for i in range(on_path):                   # evenly spread on slot 0
+        div_sched[(i * n_main) // max(on_path, 1)].add(0)
+    left = n_slow - on_path
+    it = 0
+    while left > 0:                            # rest on parallel slots
+        for s in range(1, slots[it % n_main]):
+            if left <= 0:
+                break
+            if s not in div_sched[it % n_main]:
+                div_sched[it % n_main].add(s)
+                left -= 1
+        it += 1
+        if it > 4 * n_main:
+            break
+    achieved_c, achieved_d = census_at(n_main, n_step, slots, div_sched)
+    achieved_wd = census_critical_path(
+        scalar_for(n_main, n_step, slots, div_sched), scene,
+        while_weight=live, slow_cost=slow_cost)
+    return {"scalar_fn": scalar_for(n_main, n_step, slots, div_sched),
+            "n_main": int(n_main), "n_step": int(n_step),
+            "slots": slots,
+            "divs": [sorted(d) for d in div_sched],
+            "census_per_lane": round(achieved_c, 1),
+            "target_per_lane": round(target_per_lane, 1),
+            "depth": round(achieved_d, 1),
+            "target_depth": round(target_depth, 1),
+            "wdepth": round(achieved_wd, 1),
+            "target_wdepth": round(target_wdepth, 1),
+            "census_match": round(achieved_c / max(target_per_lane, 1e-9),
+                                  4),
+            "depth_match": round(achieved_d / max(target_depth, 1e-9), 4)}

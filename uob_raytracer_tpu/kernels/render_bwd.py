@@ -291,10 +291,11 @@ def _bounce_step(cfg: RenderConfig, row_b: _Row, carry):
 # bounce-chain carry: (cur_d, cur_pos, cur_nrm, cur_mat, medium, active_f,
 # term_valid_f, term_pos, term_nrm, term_rgb, weight) with 3-vectors as
 # component tuples -> 23 (A, TILE_H, TILE_W) f32 leaves. Bool masks ride as
-# f32 0/1 flags (_bounce_step's contract); the stacked [23, A, TH, TW] form
-# crosses loop boundaries and the per-step scratch.
+# f32 0/1 flags (_bounce_step's contract). The carry crosses loop and vjp
+# boundaries AS A PYTREE — only the per-step scratch write stacks leaves
+# (the r5 layout-op census: stacking the loop carry cost ~225 uncounted
+# concatenate/slice/pad vector moves per lane in the vjp transpose).
 
-_CARRY_LEAVES = 23
 # Per-step scratch stores only the LINEARIZATION-RELEVANT carry leaves:
 # 0..11 (cur_d, cur_pos, cur_nrm, cur_mat, medium, active_f) plus weight
 # (leaf 22 — `weight * w_step` is bilinear, so w_step's cotangent needs
@@ -310,20 +311,11 @@ _SAVED_LEAVES = 13
 _SCR_LEAVES = _SAVED_LEAVES + 17
 
 
-def _stack_carry(carry):
-    return jnp.stack(jax.tree_util.tree_leaves(carry))
-
-
 def _carry_treedef(shape):
     zero = jnp.zeros(shape, _F)
     z3 = (zero, zero, zero)
     proto = (z3, z3, z3, zero, zero, zero, zero, z3, z3, z3, zero)
     return jax.tree_util.tree_structure(proto)
-
-
-def _unstack_carry(carr, treedef):
-    return jax.tree_util.tree_unflatten(
-        treedef, [carr[t] for t in range(_CARRY_LEAVES)])
 
 
 def _shade_tile(cfg: RenderConfig, cam_in, prim_diffuse, term_valid, lit,
@@ -475,7 +467,15 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
 
         def gather_pres(ids, site):
             """_Row for each lane's hit object, visiting only the objects
-            present in this (site, tile) — replaces ``_gather_row``."""
+            present in this (site, tile) — replaces ``_gather_row``.
+
+            Reads the UNIFIED (32, 17) object table the caller builds for
+            the fast-scatter path (triangle and sphere rows pre-merged into
+            one layout — see ``_unified_obj_table``): 17 scalar SMEM reads
+            per present object, no per-column tri/sph selects. The r5
+            structure-twin measurement exposed the old dual-table gather's
+            ~34 scalar reads + 17 scalar selects per bit as pure
+            scalar-unit overhead the VLIW pipeline cannot hide."""
             pres0 = pres_ref[site, i * ncols_g + j]
             zero_ = jnp.zeros(ids.shape, _F)
             # flat layout: cols 0..14 (v0,e1,e2,n,rgb), 15 mat (miss=1), 16 r2
@@ -484,25 +484,8 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
             def body(st):
                 w, flat = st
                 o = _lowbit_index(w)
-                is_tri = o < n_tri
-                ot = jnp.minimum(o, jnp.int32(max(n_tri - 1, 0)))
-                os_ = jnp.clip(o - n_tri, 0, max(n_sph - 1, 0))
-                vals = []
-                for c in range(15):
-                    t = tri_ref[ot, c]
-                    if c < 3:             # v0 <- sphere center
-                        s_v = sph_ref[os_, c]
-                    elif c >= 12:         # rgb <- sphere rgb (cols 4:7)
-                        s_v = sph_ref[os_, c - 8]
-                    else:                 # e1/e2/n: zero for spheres
-                        s_v = _F(0.0)
-                    vals.append(jnp.where(is_tri, t, s_v))
-                vals.append(jnp.where(is_tri, tri_ref[ot, 15],
-                                      sph_ref[os_, 7]))       # mat
-                vals.append(jnp.where(is_tri, _F(0.0),
-                                      sph_ref[os_, 3]))       # r2
                 m = ids == o
-                flat2 = tuple(jnp.where(m, vals[c], flat[c])
+                flat2 = tuple(jnp.where(m, tri_ref[o, c], flat[c])
                               for c in range(17))
                 return (w & (w - 1), flat2)
 
@@ -587,7 +570,12 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
                   jnp.where(valid & (mat <= 0), _F(1.0), _F(0.0)),
                   zero, z3, z3, z3, weight)
 
-        def fbody(k, carr):
+        # The chain carry crosses loop/vjp boundaries as a PYTREE, not a
+        # stacked [23, A, TH, TW] array: the r5 layout-op census showed the
+        # stacked form's per-step concatenate/slice (and the pads their
+        # vjp transpose emits) cost ~225 uncounted vector moves per lane —
+        # Mosaic emits real copies for them. Only the scratch write stacks.
+        def fbody(k, carry):
             ids_k = bid_ref[pl.ds(k, 1)][0]
             row = (gather_pres(ids_k, 1 + k) if fast_scatter
                    else _gather_row(tri_scan, sph_ref, n_tri, n_sph, ids_k))
@@ -595,15 +583,15 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
             # the gathered row (16 diff leaves + mat), so the reverse sweep
             # never rescans the table — for streamed scenes that is one
             # whole DMA table scan per step (see _SAVED_LEAVES)
-            chain_scr[pl.ds(k, 1)] = jnp.concatenate(
-                [carr[:12], carr[22:23],
-                 jnp.stack((*row.diff_inputs(), row.mat))])[None]
-            c2 = _bounce_step(cfg, row, _unstack_carry(carr, treedef))
-            return _stack_carry(c2)
+            leaves = jax.tree_util.tree_leaves(carry)
+            chain_scr[pl.ds(k, 1)] = jnp.stack(
+                leaves[:12] + [leaves[22]]
+                + list(row.diff_inputs()) + [row.mat])[None]
+            return _bounce_step(cfg, row, carry)
 
-        carrN = jax.lax.fori_loop(0, n_live, fbody, _stack_carry(carry0))
+        carrN = jax.lax.fori_loop(0, n_live, fbody, carry0)
         (_, _, _, _, _, _, term_valid_f, term_pos, term_nrm, term_rgb,
-         weight) = _unstack_carry(carrN, treedef)
+         weight) = carrN
     term_valid = term_valid_f > 0
 
     # --- part 3: shading (under jax.vjp) ---
@@ -722,10 +710,11 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
             k = n_live - 1 - i2
             ids_k = bid_ref[pl.ds(k, 1)][0]
             scr = chain_scr[pl.ds(k, 1)][0]
-            # rebuild the full carry with ZEROS in the unsaved term
+            # rebuild the full carry PYTREE with ZEROS in the unsaved term
             # slots — their vjp is value-independent (see _SAVED_LEAVES)
-            carr_k = jnp.concatenate(
-                [scr[:12], jnp.zeros((10,) + shape, _F), scr[12:13]])
+            carr_k = jax.tree_util.tree_unflatten(
+                treedef, [scr[r] for r in range(12)]
+                + [zero] * 10 + [scr[12]])
             row_diffs = tuple(scr[_SAVED_LEAVES + c] for c in range(16))
             row_mat = scr[_SAVED_LEAVES + 16]
             masks = (row_mat, ids_k >= n_tri, ids_k >= 0)
@@ -734,19 +723,15 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
                 row = _Row(tuple(diffs[0:3]), tuple(diffs[3:6]),
                            tuple(diffs[6:9]), tuple(diffs[9:12]),
                            tuple(diffs[12:15]), diffs[15], *masks)
-                c2 = _bounce_step(cfg, row,
-                                  _unstack_carry(carr_in, treedef))
-                return _stack_carry(c2)
+                return _bounce_step(cfg, row, carr_in)
 
             _, vjpk = jax.vjp(step, row_diffs, carr_k)
             drow, dcarr_prev = vjpk(dcarr)
             scatter_site(1 + k, drow, ids_k)
             return dcarr_prev
 
-        dcarr0 = jax.lax.fori_loop(0, n_live, rbody,
-                                   _stack_carry(dcarryN))
-        (dd_c, dpos_c, dnrm_c, _, _, _, _, _, _, _, _) = _unstack_carry(
-            dcarr0, treedef)
+        dcarr0 = jax.lax.fori_loop(0, n_live, rbody, dcarryN)
+        (dd_c, dpos_c, dnrm_c, _, _, _, _, _, _, _, _) = dcarr0
     else:
         dd_c, dpos_c, dnrm_c = z3, z3, z3
 
@@ -947,6 +932,25 @@ def render_replay_bwd(scene: Scene, cfg: RenderConfig, res, g,
     # scalar scatter and streamed scenes the segment-sum route.
     n_obj = n_tri + n_sph
     if not streamed and n_obj <= 32:
+        # Unified (32, 17) object table for the presence-bit gather: one
+        # row per object, triangle and sphere layouts pre-merged on the
+        # host so the in-kernel gather is 17 scalar SMEM reads per present
+        # object with NO per-column tri/sph selects (r5 structure-twin
+        # finding: the dual-table gather's ~34 scalar reads + 17 scalar
+        # selects per bit were pure scalar-unit overhead). Cols: 0..14
+        # v0,e1,e2,n,rgb; 15 mat; 16 r2 (0 for triangles). The A/B scan
+        # gather (RAYTPU_BWD_GATHER=scan) needs the original 19-col
+        # layout, so it keeps the packed table.
+        if os.environ.get("RAYTPU_BWD_GATHER") != "scan":
+            obj = jnp.zeros((32, 17), jnp.float32)
+            obj = obj.at[:n_tri, :16].set(tri[:n_tri, :16])
+            if n_sph:
+                s, o0 = sph[:n_sph], n_tri
+                obj = (obj.at[o0:o0 + n_sph, 0:3].set(s[:, 0:3])
+                          .at[o0:o0 + n_sph, 12:15].set(s[:, 4:7])
+                          .at[o0:o0 + n_sph, 15].set(s[:, 7])
+                          .at[o0:o0 + n_sph, 16].set(s[:, 3]))
+            tri = obj
         ids_sites = (jnp.concatenate([pid[None], bid], axis=0)
                      if cfg.bounces > 0 else pid[None])
         sites = ids_sites.shape[0]
