@@ -253,6 +253,8 @@ def census_kernel_ops(trace_fn, example_scene, *, while_weight: float,
     return {
         "per_lane": vector / lanes_per_tile,
         "per_lane_mem": counts.get("_mem", 0.0) / lanes_per_tile,
+        "per_lane_slow": sum(counts.get(k, 0.0) for k in
+                             ("div", "sqrt", "rsqrt")) / lanes_per_tile,
         "unknown_frac": unknown / max(vector, 1.0),
         "counts": {k: round(v) for k, v in sorted(
             counts.items(), key=lambda kv: -kv[1])[:12]},
@@ -650,6 +652,7 @@ def build_bwd_structure_twin(scene, cfg, res, n_obj: int, *,
                              target_wdepth: float, slow_per_lane: float,
                              live: float, lanes_per_tile: int,
                              slow_cost: float = 16.0,
+                             target_avg_vregs: float = 0.0,
                              main_step_ratio: float = 1380.0 / 233.0) -> dict:
     """Structural twin of ``render_bwd._bwd_kernel`` (fast-scatter path).
 
@@ -710,7 +713,7 @@ def build_bwd_structure_twin(scene, cfg, res, n_obj: int, *,
                       .reshape(32, 17))
     g0 = jnp.full((3, H, W), 1e-3, jnp.float32)
 
-    def _iter_ops(a, x, use_div):
+    def _iter_ops(a, x, use_div, with_mid=False):
         """One 17-op calibration body for ONE accumulator (bwdmix blend);
         the 17th op is div (dependency-fed: consumed next iteration) when
         scheduled, else sub."""
@@ -734,13 +737,19 @@ def build_bwd_structure_twin(scene, cfg, res, n_obj: int, *,
             sl = s3 / (t4 + np.float32(1.125))   # div (slow slot)
         else:
             sl = s3 - t4              # sub
-        return jnp.where(m1, sl, a)   # select (17)
+        out = jnp.where(m1, sl, a)    # select (17)
+        return (out, s2) if with_mid else out
 
-    def make_kernel(n_main, n_step, slots, div_sched):
+    def make_kernel(n_main, n_step, slots, div_sched, n_pool=0):
         """slots: accumulator count per unrolled main iteration;
-        div_sched: per iteration, the set of slots whose 17th op is div."""
+        div_sched: per iteration, the set of slots whose 17th op is div;
+        n_pool: snapshots of evolving accumulators kept LIVE to the end of
+        the kernel (consumed by the img fold) — a pure live-range
+        extension (zero extra chain ops) that matches the twin's average
+        working set to the real kernel's measured occupancy (the vjp's
+        stored residuals; see census_occupancy)."""
 
-        def main_chain(xs, accs, lo, hi):
+        def main_chain(xs, accs, pool, lo, hi):
             # Unrolled straight-line iterations lo..hi-1 (like the vjp).
             # Each iteration consumes a DIFFERENT gathered-row tile from
             # ``xs`` so the whole row stays live across the chain — the
@@ -752,8 +761,18 @@ def build_bwd_structure_twin(scene, cfg, res, n_obj: int, *,
                 k = slots[it]
                 accs = accs[:k] + [x * np.float32(1.0 + 1e-6 * (it + s))
                                    for s in range(len(accs), k)]
-                accs = [_iter_ops(a, x, s in div_sched[it])
+                outs = [_iter_ops(a, x, s in div_sched[it],
+                                  with_mid=True)
                         for s, a in enumerate(accs[:k])]
+                accs = [o[0] for o in outs]
+                # live-range extension: these snapshots would otherwise
+                # die within 1-2 iterations; recomputing one later needs
+                # the whole chain, so the compiler must keep it resident
+                for s in range(len(accs)):
+                    if len(pool) < n_pool:
+                        pool.append(accs[s])
+                    if len(pool) < n_pool:
+                        pool.append(outs[s][1])
             return accs
 
         def step_chain(x):
@@ -816,7 +835,8 @@ def build_bwd_structure_twin(scene, cfg, res, n_obj: int, *,
             flat0 = gather(0, pid_t)
             x0 = flat0[0] + lit_t * F(1e-6) + g[0][None] * F(1e-3)
             xs = (x0,) + flat0[1:]
-            accs = main_chain(xs, [x0], 0, n_main // 2)
+            pool = []
+            accs = main_chain(xs, [x0], pool, 0, n_main // 2)
             a_mid = accs[0]
 
             n_live = jnp.int32(0)
@@ -848,19 +868,22 @@ def build_bwd_structure_twin(scene, cfg, res, n_obj: int, *,
             dcarr = jax.lax.fori_loop(0, n_live, rbody, carr)
 
             # second half of the main chain + prim scatter + dcam + img
-            accs = main_chain(xs, [dcarr + a_mid] + accs[1:],
+            accs = main_chain(xs, [dcarr + a_mid] + accs[1:], pool,
                               n_main // 2, n_main)
             scatter_site(0, accs, pid_t)
             for c in range(CAM_COLS):
                 dcam_ref[c] = (dcam_ref[c] + accs[c % len(accs)][0]
                                + a_mid[0])
+            pacc = accs[0]
+            for e in pool:              # consume every pooled snapshot
+                pacc = pacc + e
             for c in range(3):
-                img_ref[c] = accs[c % len(accs)][0]
+                img_ref[c] = accs[c % len(accs)][0] + pacc[0] * F(1e-6)
 
         return kernel
 
-    def make_call(n_main, n_step, slots, div_sched):
-        kernel = make_kernel(n_main, n_step, slots, div_sched)
+    def make_call(n_main, n_step, slots, div_sched, n_pool=0):
+        kernel = make_kernel(n_main, n_step, slots, div_sched, n_pool)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
         @jax.jit
@@ -909,16 +932,16 @@ def build_bwd_structure_twin(scene, cfg, res, n_obj: int, *,
 
     lut = jnp.asarray(_DEBRUIJN_LUT)
 
-    def scalar_for(n_main, n_step, slots, div_sched):
-        call = make_call(n_main, n_step, slots, div_sched)
+    def scalar_for(n_main, n_step, slots, div_sched, n_pool=0):
+        call = make_call(n_main, n_step, slots, div_sched, n_pool)
 
         def scalar_fn(s):
             g = g0 + s.light_pos[0] * F(1e-12)
             return call(g, pid, lit, bid, pres, lut, tab)
         return scalar_fn
 
-    def census_at(n_main, n_step, slots, div_sched):
-        fn = scalar_for(n_main, n_step, slots, div_sched)
+    def census_at(n_main, n_step, slots, div_sched, n_pool=0):
+        fn = scalar_for(n_main, n_step, slots, div_sched, n_pool)
         c = census_kernel_ops(fn, scene, while_weight=live,
                               lanes_per_tile=lanes_per_tile)["per_lane"]
         d = census_critical_path(fn, scene, while_weight=live)
@@ -959,13 +982,35 @@ def build_bwd_structure_twin(scene, cfg, res, n_obj: int, *,
         it += 1
         if it > 4 * n_main:
             break
-    achieved_c, achieved_d = census_at(n_main, n_step, slots, div_sched)
+    # working-set matching: pool snapshots until the twin's eqn-weighted
+    # average occupancy reaches the real kernel's (see census_occupancy);
+    # the pool's fold ops (one add per snapshot) are paid back out of the
+    # chain-slot budget so the census target is preserved
+    n_pool = 0
+    occ_twin = None
+    if target_avg_vregs > 0:
+        base_occ = census_occupancy(
+            scalar_for(n_main, n_step, slots, div_sched, 0), scene)
+        n_pool = int(np.clip(
+            round((target_avg_vregs - base_occ["avg_vregs"]) / 4.0),
+            0, 2 * sum(slots)))
+        total_slots = max(n_main, round((budget - n_pool) / 17.0))
+        base, extra = divmod(total_slots, n_main)
+        slots = [base + (1 if i < extra else 0) for i in range(n_main)]
+        n_pool = min(n_pool, 2 * sum(slots))
+        occ_twin = census_occupancy(
+            scalar_for(n_main, n_step, slots, div_sched, n_pool), scene)
+    achieved_c, achieved_d = census_at(n_main, n_step, slots, div_sched,
+                                       n_pool)
     achieved_wd = census_critical_path(
-        scalar_for(n_main, n_step, slots, div_sched), scene,
+        scalar_for(n_main, n_step, slots, div_sched, n_pool), scene,
         while_weight=live, slow_cost=slow_cost)
-    return {"scalar_fn": scalar_for(n_main, n_step, slots, div_sched),
+    return {"scalar_fn": scalar_for(n_main, n_step, slots, div_sched,
+                                    n_pool),
             "n_main": int(n_main), "n_step": int(n_step),
-            "slots": slots,
+            "slots": slots, "n_pool": n_pool,
+            "avg_vregs": (occ_twin or {}).get("avg_vregs"),
+            "target_avg_vregs": round(target_avg_vregs, 1),
             "divs": [sorted(d) for d in div_sched],
             "census_per_lane": round(achieved_c, 1),
             "target_per_lane": round(target_per_lane, 1),
@@ -976,3 +1021,76 @@ def build_bwd_structure_twin(scene, cfg, res, n_obj: int, *,
             "census_match": round(achieved_c / max(target_per_lane, 1e-9),
                                   4),
             "depth_match": round(achieved_d / max(target_depth, 1e-9), 4)}
+
+
+def census_occupancy(trace_fn, example_scene) -> dict:
+    """Live-value (working set) census of the pallas kernel inside
+    ``trace_fn(scene)``: linear-scan liveness over the kernel jaxpr,
+    counting non-Ref vector values in 4 KB vregs (elems/1024). ``avg`` is
+    eqn-weighted mean occupancy at the TOP level of the kernel (loop and
+    vjp subgraphs contribute their peak at their call point); ``peak``
+    includes subgraph-internal spikes. Approximate — eqn-granularity, not
+    cycle-granularity — but computed identically for the real kernel and
+    its structure twin, so the COMPARISON is like-for-like. Used to size
+    the twin's resident pool (working-set matching, r5)."""
+    import jax
+    from jax._src import core as jcore
+
+    jx = jax.make_jaxpr(trace_fn)(example_scene)
+    kj = _find_pallas_jaxpr(jx.jaxpr)
+    if kj is None:
+        raise ValueError("no pallas_call found in traced function")
+
+    def vreg(v):
+        if "Ref" in type(v.aval).__name__:
+            return 0.0
+        e = _aval_elems(v.aval)
+        return e / 1024.0 if e > 1 else 0.0
+
+    def scan(jaxpr, live_in):
+        last_use = {}
+        eqns = jaxpr.eqns
+        for idx, eqn in enumerate(eqns):
+            for v in eqn.invars:
+                if not isinstance(v, jcore.Literal):
+                    last_use[v] = idx
+        for v in jaxpr.outvars:
+            if not isinstance(v, jcore.Literal):
+                last_use[v] = len(eqns)
+        live = {v: vreg(v) for v in list(jaxpr.invars) + list(jaxpr.constvars)
+                if v in last_use}
+        cur = sum(live.values())
+        peak = live_in + cur
+        occ_sum = 0.0
+        for idx, eqn in enumerate(eqns):
+            name = eqn.primitive.name
+            inner = None
+            if name == "scan":
+                inner = eqn.params["jaxpr"].jaxpr
+            elif name == "while":
+                inner = eqn.params["body_jaxpr"].jaxpr
+            elif name == "cond":
+                inner = eqn.params["branches"][0].jaxpr
+            else:
+                p = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+                if p is not None and hasattr(getattr(p, "jaxpr", p), "eqns"):
+                    inner = getattr(p, "jaxpr", p)
+            for v in eqn.outvars:
+                if v in last_use:
+                    live[v] = vreg(v)
+                    cur += live[v]
+            if inner is not None:
+                ip, _, _ = scan(inner, live_in + cur)
+                peak = max(peak, ip)
+            peak = max(peak, live_in + cur)
+            occ_sum += cur
+            for v in list(eqn.invars) + list(eqn.outvars):
+                if (not isinstance(v, jcore.Literal)
+                        and last_use.get(v) == idx and v in live):
+                    cur -= live.pop(v)
+        return peak, occ_sum, len(eqns)
+
+    peak, occ_sum, n = scan(kj, 0.0)
+    return {"peak_vregs": round(peak, 1),
+            "avg_vregs": round(occ_sum / max(n, 1), 1),
+            "top_eqns": n}

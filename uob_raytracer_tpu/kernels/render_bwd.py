@@ -547,6 +547,14 @@ def _bwd_kernel(tri_ref, sph_ref, cam_ref, off_ref, g_ref, pid_ref, lit_ref,
                                                start, d)
         return d, pos, normal, rgb
 
+    # NOTE on working set: vjp1 runs LAST (it needs the chain's
+    # cotangents), so f1's residuals stay live across the bounce chain and
+    # the shading vjp. An r5 experiment rematerialized f1 at the vjp1 use
+    # site (manually — jax.checkpoint's remat2 has no Pallas TPU
+    # lowering): measured time was IDENTICAL (0.39 ms) while the jaxpr
+    # census grew ~180 ops/lane, i.e. Mosaic either CSEs the recompute
+    # back or hides the residual traffic; the stored-residual form keeps
+    # the census honest.
     if "dcam" in ablate:
         (d, pos, normal, rgb), _vjp1p = jax.vjp(
             functools.partial(f1, cam_vals), prim.diff_inputs())

@@ -1056,16 +1056,18 @@ def render_fused_raw(scene: Scene, cfg: RenderConfig,
 
 
 # Whole-table SMEM staging is the fast path for small scenes (the Cornell
-# workloads); SMEM capacity caps it (~1k rows measured on v5e — 2k fails to
-# compile). Bigger scenes switch to the streamed kernel, which double-buffers
-# STREAM_BLK-row blocks of the HBM-resident table through SMEM scratch — no
-# scene-size cap, same fused pipeline.
+# workloads); SMEM capacity caps it. Bigger scenes switch to the streamed
+# kernel, which double-buffers STREAM_BLK-row blocks of the HBM-resident
+# table through SMEM scratch — no scene-size cap, same fused pipeline.
 #
-# The cutover value comes from the measured crossover curve
-# (docs/crossover_r05.json, `python bench.py --crossover`): the SMEM kernel
-# stays faster for every size that compiles (~1k rows; 2k fails), so the
-# constant sits at the largest power of two with compile headroom for the
-# shadow-quad table that shares SMEM with the triangle table.
+# The cutover value is set from the measured r5 crossover curve
+# (docs/crossover_r05.json, `python bench.py --crossover`, 128² aa4 s3 b2):
+# smem/streamed fwd ms = 0.11/1.04 @26 tris, 0.60/1.03 @128, 1.20/1.41
+# @256, 2.35/2.36 @512, 3.59/3.39 @768 (streamed WINS), and the SMEM
+# kernel no longer compiles at 1024 (Mosaic scalar-memory limit, incl.
+# the shadow-quad table sharing SMEM). 512 is both the last size where
+# SMEM is at least as fast and the last power of two with compile
+# headroom — the measured crossover, not an anecdote.
 MAX_SMEM_TRIANGLES = 512
 
 
