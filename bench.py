@@ -252,11 +252,16 @@ def bench_config(name: str, cfg, scene, iters: int, backend: str) -> dict:
     assert_finite_grads(cfg, backend, quads, scene)
     fwd_fn = _fwd_scalar(cfg, backend, quads)
     step_fn = _step_scalar(cfg, backend, quads)
+    # 9 slope estimates per reported config number (headline uses 7): the
+    # per-config table is the BENCH contract, so give the MAD rejection
+    # two more samples of headroom toward the <=10% spread budget
     dt_fwd = time_scalar_fn(fwd_fn, scene,
-                            _adaptive_iters(fwd_fn, scene, lo=iters))
+                            _adaptive_iters(fwd_fn, scene, lo=iters),
+                            n_estimates=9)
     dt_step = time_scalar_fn(step_fn, scene,
                              _adaptive_iters(step_fn, scene,
-                                             lo=max(4, iters // 2)))
+                                             lo=max(4, iters // 2)),
+                             n_estimates=9)
     out = {
         "rays_per_frame": rays,
         "grads_finite": True,

@@ -103,3 +103,38 @@ def test_scene_checkpoint_roundtrip(tmp_path, cornell):
     for f in dataclasses.fields(back):
         np.testing.assert_array_equal(np.asarray(getattr(back, f.name)),
                                       np.asarray(getattr(cornell, f.name)))
+
+
+def test_masked_third_sphere():
+    """kernels.cl:7-10 declares a THIRD sphere — (0, 0, -0.8), r^2=0.1,
+    color (0.6, 0, 0, -1.0 = glass) — that the SPHERES=2 bound masks off.
+    The table round-trips here the same way: absent by default, exact when
+    resurrected (as raising SPHERES to 3 would in the reference)."""
+    from uob_raytracer_tpu.scene import cornell_box
+
+    base = cornell_box()
+    assert base.sph_center.shape[0] == 2          # masked off, like SPHERES=2
+
+    full = cornell_box(masked_sphere=True)
+    assert full.sph_center.shape[0] == 3
+    np.testing.assert_allclose(np.asarray(full.sph_center)[:2],
+                               np.asarray(base.sph_center))
+    np.testing.assert_allclose(np.asarray(full.sph_center)[2],
+                               [0.0, 0.0, -0.8])
+    np.testing.assert_allclose(np.asarray(full.sph_r2), [0.075, 0.05, 0.1])
+    np.testing.assert_allclose(np.asarray(full.sph_rgb)[2], [0.6, 0.0, 0.0])
+    assert np.asarray(full.sph_mat)[2] == -1.0    # w component: glass
+
+
+def test_masked_sphere_renders():
+    """The resurrected sphere is visible: renders of the 2- and 3-sphere
+    scenes differ, and the 3-sphere render stays finite."""
+    import uob_raytracer_tpu as rt
+
+    cfg = rt.RenderConfig(width=64, height=64, aa_x=1, aa_y=1,
+                          shadow_samples=2, bounces=2)
+    img2 = np.asarray(rt.render(rt.cornell_box(), cfg).image)
+    img3 = np.asarray(rt.render(rt.cornell_box(masked_sphere=True),
+                                cfg).image)
+    assert np.isfinite(img3).all()
+    assert np.abs(img3 - img2).max() > 1e-3

@@ -136,21 +136,44 @@ def _cornell_triangles() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return verts, rgb, mat
 
 
-def default_spheres() -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """The two live analytic spheres of ``Source/kernels.cl:7-10``:
-    a glass sphere at (0.3, 0.1, -0.5) with r^2=0.075 and a mirror sphere at
-    (-0.4, 0.8, -0.5) with r^2=0.05. (The kernel's third sphere is masked off
-    by the SPHERES=2 loop bound and is not reproduced.)"""
-    centers = np.array([[0.3, 0.1, -0.5], [-0.4, 0.8, -0.5]], dtype=np.float32)
-    r2 = np.array([0.075, 0.05], dtype=np.float32)
-    rgb = np.zeros((2, 3), dtype=np.float32)
-    mat = np.array([MAT_GLASS, MAT_MIRROR], dtype=np.float32)
-    return centers, r2, rgb, mat
+# The reference kernel's sphere tables hold a THIRD entry — center
+# (0, 0, -0.8), r^2=0.1, color (0.6, 0, 0, -1.0) where the w component is
+# the material code (-1 = glass) — that the SPHERES=2 loop bound masks off
+# (``Source/kernels.cl:7-10``). Kept here verbatim, and masked off the
+# same way, so the full constant table round-trips; pass
+# include_masked=True to resurrect it exactly as raising SPHERES would in
+# the reference.
+_MASKED_SPHERE = {"center": (0.0, 0.0, -0.8), "r2": 0.1,
+                  "rgb": (0.6, 0.0, 0.0), "mat": float(MAT_GLASS)}
+
+
+def default_spheres(include_masked: bool = False
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                               np.ndarray]:
+    """The analytic spheres of ``Source/kernels.cl:7-10``: a glass sphere
+    at (0.3, 0.1, -0.5) with r^2=0.075 and a mirror sphere at
+    (-0.4, 0.8, -0.5) with r^2=0.05 — plus, with ``include_masked``, the
+    third table entry the reference declares but masks off with its
+    SPHERES=2 bound (see ``_MASKED_SPHERE``)."""
+    centers = [[0.3, 0.1, -0.5], [-0.4, 0.8, -0.5]]
+    r2 = [0.075, 0.05]
+    rgb = [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]]
+    mat = [MAT_GLASS, MAT_MIRROR]
+    if include_masked:
+        centers.append(list(_MASKED_SPHERE["center"]))
+        r2.append(_MASKED_SPHERE["r2"])
+        rgb.append(list(_MASKED_SPHERE["rgb"]))
+        mat.append(_MASKED_SPHERE["mat"])
+    return (np.array(centers, dtype=np.float32),
+            np.array(r2, dtype=np.float32),
+            np.array(rgb, dtype=np.float32),
+            np.array(mat, dtype=np.float32))
 
 
 def cornell_box(
     *,
     spheres: bool = True,
+    masked_sphere: bool = False,
     shading: ShadingModel = ShadingModel.DEVICE,
     as_numpy: bool = False,
 ) -> Scene:
@@ -159,10 +182,13 @@ def cornell_box(
     shading selects between the live device constants (light 16, indirect 0.5,
     ``kernels.cl:3-4``) and the vestigial host constants (light 14, indirect
     0.25, ``skeleton.cpp:69-70``) used by the CPU-ref baseline config.
+    masked_sphere resurrects the reference's third, SPHERES=2-masked table
+    entry (see ``_MASKED_SPHERE``) — the render a reference user would get
+    by raising that bound to 3.
     """
     verts, rgb, mat = _cornell_triangles()
     if spheres:
-        sc, sr2, srgb, smat = default_spheres()
+        sc, sr2, srgb, smat = default_spheres(include_masked=masked_sphere)
     else:
         sc = np.zeros((0, 3), dtype=np.float32)
         sr2 = np.zeros((0,), dtype=np.float32)
