@@ -7,15 +7,18 @@ kernels/render_bwd.py), using the same slope-timed methodology as bench.py.
 Each setting retraces (ablate is a static argument), so one process can
 sweep them all. Gradients are WRONG under ablation — bench use only.
 
-Round-5 quiet-host numbers (v5e, 512^2 aa4 s10 b1), after the
-presence-bit-loop gather/scatter and the division-lean vjp arithmetic:
+Round-5 final numbers (v5e, 512^2 aa4 s10 b1; 75-pass timing windows),
+after the division-lean vjp arithmetic, the presence-bit-loop
+gather/scatter with the unified object table, and the pytree chain
+carries. Components are non-additive: ablations free XLA/Mosaic to
+reschedule what remains.
 
-    none                0.44 ms     (r4: 0.52, r3: 1.91)
-    -scatter            0.36
-    -chain              0.35
-    -dcam               0.44
+    none                0.39 ms     (r4: 0.52, r3: 1.91)
+    -scatter            0.34
+    -chain              0.31
+    -dcam               0.38
     -scatter,dcam       0.23
-    -all three          0.14        (the core f1/f3 vjp compute)
+    -all three          0.18        (the core f1/f3 vjp compute)
 """
 import sys
 import warnings
@@ -52,7 +55,7 @@ for ab in ["", "scatter", "chain", "dcam", "scatter,dcam",
         g = render_replay_bwd(s, cfg, res, g0)
         return sum(jnp.sum(x) * 1e-9 for x in jax.tree_util.tree_leaves(g))
 
-    dt = time_scalar_fn(bwd_scalar, scene, 24)
+    dt = time_scalar_fn(bwd_scalar, scene, 75)
     print(f"ablate={ab or 'none':>18s}: bwd {dt*1e3:.3f} ms "
           f"±{dt.spread:.0%}", flush=True)
 os.environ.pop("RAYTPU_BWD_ABLATE", None)
