@@ -172,18 +172,35 @@ def time_scalar_fn(scalar_fn, scene, iters: int,
         t1 = min(once(iters) for _ in range(2))
         t2 = min(once(2 * iters) for _ in range(2))
         slopes.append(max(t2 - t1, 1e-9) / iters)
+    p50, spread, n_rejected = robust_slope_stats(slopes)
+    return Timing(p50, spread, window_s=p50 * iters,
+                  n_rejected=n_rejected)
+
+
+def robust_slope_stats(slopes) -> tuple:
+    """(p50, spread, n_rejected) of a set of slope estimates under
+    MAD-based burst rejection — the pure math of ``time_scalar_fn``,
+    factored out so the rejection contract is unit-testable without a
+    device (tests/test_bench_stats.py).
+
+    Estimates farther than 3 MAD-sigma from the median are rejected as
+    burst-contaminated; the 5%-of-median floor keeps legitimate
+    few-percent scatter from being trimmed into a fake-tight spread. If
+    rejection leaves fewer than 3 estimates (degenerate MAD, e.g. a
+    bimodal set), the min and max are dropped instead and the rest kept —
+    a capture that rejects most of its estimates is suspect, and says so
+    through ``n_rejected``."""
+    import statistics
+
     med = statistics.median(slopes)
-    # MAD-based burst rejection; the 5%-of-median floor keeps legitimate
-    # few-percent scatter from being trimmed into a fake-tight spread
     mad_sigma = 1.4826 * statistics.median(abs(s - med) for s in slopes)
     bound = max(3.0 * mad_sigma, 0.05 * med)
     kept = [s for s in slopes if abs(s - med) <= bound]
-    if len(kept) < 3:              # degenerate MAD (e.g. bimodal): keep the
-        kept = sorted(slopes)[1:-1] or slopes   # central estimates instead
+    if len(kept) < 3:              # degenerate MAD: keep the central
+        kept = sorted(slopes)[1:-1] or list(slopes)   # estimates instead
     p50 = statistics.median(kept)
     spread = (max(kept) - min(kept)) / p50
-    return Timing(p50, spread, window_s=p50 * iters,
-                  n_rejected=len(slopes) - len(kept))
+    return p50, spread, len(slopes) - len(kept)
 
 
 def _quads_for(scene, backend):
